@@ -1,0 +1,196 @@
+"""The jitted DVB-T2 transmit pipeline.
+
+One XLA program turns a window of TS bytes into baseband IQ for a batch of
+T2 frames.  Covers the full fused chain of the reference's four stream blocks
+plus the in-tree LDPC encoder it relies on (see SURVEY.md section 0).
+All tables come from a host-built :class:`~dvbt2ll_tpu.plan.TransmitPlan`.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import T2Config
+from .plan import TransmitPlan, build_plan
+
+
+def _consts(plan: TransmitPlan):
+    """Device-ready constants, cached on the plan.
+
+    The cache is only populated outside a trace (jnp.asarray inside jit
+    yields tracers, which must not leak across traces).
+    """
+    c = getattr(plan, "_device_consts", None)
+    if c is None:
+        c = {
+            "headers": jnp.asarray(plan.headers, jnp.uint8),
+            "df_bit_src": jnp.asarray(plan.df_bit_src, jnp.int32),
+            "packet_bit_src": jnp.asarray(plan.packet_bit_src, jnp.int32),
+            "crc_matrix": jnp.asarray(plan.crc_matrix, jnp.int8),
+            "crc_scatter": jnp.asarray(plan.crc_scatter, jnp.int32),
+            "scramble": jnp.asarray(plan.scramble, jnp.uint8),
+            "bch_matrix": jnp.asarray(plan.bch_matrix, jnp.int8),
+            "ldpc_gather": jnp.asarray(plan.ldpc_gather, jnp.int32),
+            "mapper_perm": jnp.asarray(plan.mapper_perm, jnp.int32),
+            "qam": jnp.asarray(plan.qam, jnp.complex64),
+            "ti_perm": jnp.asarray(plan.ti_perm, jnp.int32),
+            "l1pre": jnp.asarray(plan.l1pre, jnp.complex64),
+            "l1post_all": jnp.asarray(plan.l1post_all, jnp.complex64),
+            "dummy": jnp.asarray(plan.dummy, jnp.complex64),
+            "grid_src": jnp.asarray(plan.grid_src, jnp.int32),
+            "pilot_plane": jnp.asarray(plan.pilot_plane, jnp.float32),
+            "p1": jnp.asarray(plan.p1, jnp.complex64),
+        }
+        if isinstance(jnp.zeros(()), jax.core.Tracer):
+            return c  # inside a trace: use but do not cache
+        plan._device_consts = c
+    return c
+
+
+def bb_and_fec(plan: TransmitPlan, ts_padded: jnp.ndarray) -> jnp.ndarray:
+    """TS bytes (187 carry + fresh) -> LDPC frame bits (F, frame_bits) u8."""
+    cfg = plan.cfg
+    c = _consts(plan)
+    bits = jnp.unpackbits(ts_padded)  # MSB-first
+
+    df = bits[c["df_bit_src"]]  # (F, df_bits)
+    pkt = bits[c["packet_bit_src"]].astype(jnp.int8)  # (P, 1496)
+    crc = (jnp.matmul(pkt, c["crc_matrix"],
+                      preferred_element_type=jnp.int32) & 1).astype(jnp.uint8)
+    df = df.at[c["crc_scatter"][:, 0].reshape(-1, 8),
+               c["crc_scatter"][:, 1].reshape(-1, 8)].set(crc)
+
+    kbch_bits = jnp.concatenate(
+        [c["headers"], df], axis=1) ^ c["scramble"][None, :]
+
+    bch_par = (jnp.matmul(kbch_bits.astype(jnp.int8), c["bch_matrix"],
+                          preferred_element_type=jnp.int32) & 1).astype(
+                              jnp.uint8)
+    nbch_bits = jnp.concatenate([kbch_bits, bch_par], axis=1)  # (F, nbch)
+
+    ext = jnp.concatenate(
+        [nbch_bits, jnp.zeros((nbch_bits.shape[0], 1), jnp.uint8)], axis=1)
+    acc = ext[:, c["ldpc_gather"]].astype(jnp.int32).sum(-1) & 1
+    ldpc_par = (jnp.cumsum(acc, axis=1) & 1).astype(jnp.uint8)
+    return jnp.concatenate([nbch_bits, ldpc_par], axis=1)
+
+
+def map_cells(plan: TransmitPlan, frame_bits: jnp.ndarray) -> jnp.ndarray:
+    """LDPC frames -> constellation cells (F, cell_size) c64."""
+    cfg = plan.cfg
+    c = _consts(plan)
+    mod = cfg.mod_bits
+    cell_bits = frame_bits[:, c["mapper_perm"]]
+    weights = jnp.asarray(1 << np.arange(mod - 1, -1, -1), jnp.int32)
+    words = jnp.matmul(
+        cell_bits.reshape(frame_bits.shape[0], cfg.cell_size, mod)
+        .astype(jnp.int32), weights)
+    cells = c["qam"][words]
+    if cfg.rotation:
+        delayed = c["qam"][jnp.roll(words, 1, axis=1)]
+        cells = jax.lax.complex(jnp.real(cells), jnp.imag(delayed))
+    return cells
+
+
+def build_frames(plan: TransmitPlan, cells: jnp.ndarray,
+                 frame_idx0: jnp.ndarray) -> jnp.ndarray:
+    """FEC-frame cells (F, cell) -> OFDM grids (B, S, fft) c64."""
+    cfg = plan.cfg
+    c = _consts(plan)
+    b = plan.batch_frames
+    stream = cells.reshape(b, cfg.stream_cells)
+    payload = stream[:, c["ti_perm"]]
+
+    idx = (frame_idx0 + jnp.arange(b)) % cfg.t2_frames
+    l1post = c["l1post_all"][idx]  # (B, l1cells)
+    seq = jnp.concatenate([
+        jnp.tile(c["l1pre"][None, :], (b, 1)),
+        l1post,
+        payload,
+        jnp.tile(c["dummy"][None, :], (b, 1)),
+        jnp.zeros((b, cfg.n_fc - cfg.c_fc), jnp.complex64),
+    ], axis=1)
+
+    src = c["grid_src"]
+    data = jnp.where(src[None] >= 0,
+                     seq[:, jnp.clip(src, 0)],
+                     jnp.zeros((), jnp.complex64))
+    return data + c["pilot_plane"].astype(jnp.complex64)
+
+
+def modulate(plan: TransmitPlan, grids: jnp.ndarray) -> jnp.ndarray:
+    """(B, S, fft) grids -> (B, samples_per_frame) IQ."""
+    cfg = plan.cfg
+    c = _consts(plan)
+    fft = cfg.fft_points
+    gi = cfg.guard_samples
+    time = jnp.fft.ifft(grids, axis=-1) * (fft * cfg.ofdm_normalization)
+    time = time.astype(jnp.complex64)
+    with_gi = jnp.concatenate([time[..., fft - gi :], time], axis=-1)
+    b = grids.shape[0]
+    body = with_gi.reshape(b, cfg.num_symbols * (fft + gi))
+    p1 = jnp.tile(c["p1"][None, :], (b, 1))
+    return jnp.concatenate([p1, body], axis=1)
+
+
+def transmit_step(plan: TransmitPlan, ts_padded: jnp.ndarray,
+                  frame_idx0) -> jnp.ndarray:
+    """Full chain: padded TS bytes -> (B, samples_per_frame) complex64."""
+    frame_bits = bb_and_fec(plan, ts_padded)
+    cells = map_cells(plan, frame_bits)
+    grids = build_frames(plan, cells, frame_idx0)
+    return modulate(plan, grids)
+
+
+def transmit_step_iq(plan: TransmitPlan, ts_padded: jnp.ndarray,
+                     frame_idx0) -> jnp.ndarray:
+    """Like transmit_step but returns float32 (B, samples, 2) I/Q planes.
+
+    Some backends (the axon TPU tunnel) cannot transfer complex64 buffers to
+    the host; an interleaved float32 view is bit-identical and transfers fine
+    (callers can .view(complex64) on the host side).
+    """
+    out = transmit_step(plan, ts_padded, frame_idx0)
+    return jnp.stack([jnp.real(out), jnp.imag(out)], axis=-1)
+
+
+class Transmitter:
+    """Streaming DVB-T2 transmitter: feed TS bytes, get baseband IQ.
+
+    Holds the tiny cross-step state the reference carries in block members
+    (TS byte phase / CRC via the 187-byte carry window, and the T2 frame
+    counter; see SURVEY.md section 3.3).
+    """
+
+    def __init__(self, cfg: T2Config, batch_frames: Optional[int] = None,
+                 strict: bool = True):
+        self.cfg = cfg
+        self.plan = build_plan(cfg, batch_frames, strict=strict)
+        self._carry = np.zeros(187, dtype=np.uint8)
+        self._frame_idx = 0
+        _consts(self.plan)  # populate the device-constant cache eagerly
+        self._step = jax.jit(functools.partial(transmit_step_iq, self.plan))
+
+    @property
+    def bytes_per_step(self) -> int:
+        return self.plan.ts_bytes_in
+
+    def step_device(self, ts_bytes: np.ndarray) -> jax.Array:
+        """One step; returns the float32 (B, samples, 2) I/Q device array."""
+        assert ts_bytes.shape == (self.plan.ts_bytes_in,)
+        padded = np.concatenate([self._carry, ts_bytes.astype(np.uint8)])
+        out = self._step(jnp.asarray(padded), jnp.int32(self._frame_idx))
+        self._carry = padded[-187:].copy()
+        self._frame_idx = (self._frame_idx
+                           + self.plan.batch_frames) % self.cfg.t2_frames
+        return out
+
+    def __call__(self, ts_bytes: np.ndarray) -> np.ndarray:
+        """Process one step of fresh TS bytes; returns complex64
+        (B, samples_per_frame) on the host."""
+        iq = np.asarray(self.step_device(ts_bytes))
+        return iq.reshape(iq.shape[0], -1).view(np.complex64)

@@ -1,0 +1,192 @@
+"""TransmitPlan: every static array the jitted transmit step consumes.
+
+The reference implementation recomputes tables per block and walks the data
+byte-by-byte (see SURVEY.md section 3.2).  Here the entire chain is composed
+host-side into a handful of dense constants so the device graph is:
+
+    unpack bits -> gather -> GF(2) matmul (CRC) -> scatter -> XOR (scramble)
+    -> GF(2) matmul (BCH) -> gather+reduce+cumsum (LDPC)
+    -> gather (bit interleave) -> pack -> LUT take (QAM)
+    -> gather (cell/time interleave)
+    -> gather (zigzag+frequency interleave+carrier placement) + pilot plane
+    -> batched IFFT -> guard-interval slice -> P1 concat
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from .config import T2Config
+from .tables import cell_interleaver, freq_interleaver
+from .tables.bbframe import BBFramePlan
+from .tables.bch import parity_matrix
+from .tables.constellations import qam_lut
+from .tables.l1 import l1post_cells_all_frames, l1pre_cells
+from .tables.ldpc import encoder_gather
+from .tables.mapper import bit_permutation
+from .tables.pilots import build_planes, p1_waveform
+from .tables.sequences import bb_scrambler
+from .config import FrameSize
+
+
+def zigzag_map(cfg: T2Config) -> np.ndarray:
+    """Z with frame[t] = seq[Z[t]]: the P2 zig-zag spread of L1 cells
+    (reference lib/framemapperfint_cc_impl.cc:2064-2101); identity when
+    N_P2 == 1."""
+    m = cfg.mapped_cells
+    if cfg.n_p2 == 1:
+        return np.arange(m, dtype=np.int64)
+    n_p2, c_p2 = cfg.n_p2, cfg.c_p2
+    n_pre, n_post = 1840, cfg.l1post_cells
+    z = np.empty(m, dtype=np.int64)
+    pre_per = n_pre // n_p2
+    post_per = n_post // n_p2
+    fill = c_p2 - pre_per - post_per
+    for n in range(n_p2):
+        base = n * c_p2
+        z[base : base + pre_per] = n + np.arange(pre_per) * n_p2
+        z[base + pre_per : base + pre_per + post_per] = \
+            n_pre + n + np.arange(post_per) * n_p2
+        z[base + pre_per + post_per : base + c_p2] = \
+            n_pre + n_post + n * fill + np.arange(fill)
+    # after the P2 region the stream continues sequentially
+    z[n_p2 * c_p2 :] = np.arange(n_p2 * c_p2, m)
+    return z
+
+
+def interleaved_stream_to_seq(cfg: T2Config) -> np.ndarray:
+    """Compose zig-zag + per-symbol frequency interleaving: position k of the
+    symbol-major frequency-interleaved cell stream <- seq index."""
+    z = zigzag_map(cfg)
+    out = np.empty(cfg.mapped_cells, dtype=np.int64)
+    pos = 0
+    symbol = 0
+    he, ho = freq_interleaver.build_h(cfg.fft_key, cfg.c_p2)
+    for _ in range(cfg.n_p2):
+        h = he if symbol % 2 == 0 else ho
+        out[pos : pos + cfg.c_p2] = z[pos + h]
+        pos += cfg.c_p2
+        symbol += 1
+    he, ho = freq_interleaver.build_h(cfg.fft_key, cfg.c_data)
+    for _ in range(cfg.num_plain_data_symbols):
+        h = he if symbol % 2 == 0 else ho
+        out[pos : pos + cfg.c_data] = z[pos + h]
+        pos += cfg.c_data
+        symbol += 1
+    if cfg.has_fc_symbol:
+        he, ho = freq_interleaver.build_h(cfg.fft_key, cfg.n_fc)
+        h = he if symbol % 2 == 0 else ho
+        out[pos : pos + cfg.n_fc] = z[pos + h]
+        pos += cfg.n_fc
+    assert pos == cfg.mapped_cells
+    return out
+
+
+@dataclass
+class TransmitPlan:
+    """All constants for a jitted transmit step over a batch of T2 frames."""
+
+    cfg: T2Config
+    batch_frames: int                  # T2 frames per step
+
+    # bit domain
+    headers: np.ndarray = field(repr=False, default=None)        # (F, 80) u8
+    df_bit_src: np.ndarray = field(repr=False, default=None)     # (F, dfbits) i32
+    packet_bit_src: np.ndarray = field(repr=False, default=None) # (P, 1496) i32
+    crc_matrix: np.ndarray = field(repr=False, default=None)     # (1496, 8) i8
+    crc_scatter: np.ndarray = field(repr=False, default=None)    # (P, 8, 2) i32
+    scramble: np.ndarray = field(repr=False, default=None)       # (kbch,) u8
+    bch_matrix: np.ndarray = field(repr=False, default=None)     # (kbch, npar) i8
+    ldpc_gather: np.ndarray = field(repr=False, default=None)    # (plen, D) i32
+    # cell domain
+    mapper_perm: np.ndarray = field(repr=False, default=None)    # (N,) i32
+    qam: np.ndarray = field(repr=False, default=None)            # (2^mod,) c64
+    # frame domain
+    ti_perm: np.ndarray = field(repr=False, default=None)        # (stream,) i32
+    l1pre: np.ndarray = field(repr=False, default=None)          # (1840,) c64
+    l1post_all: np.ndarray = field(repr=False, default=None)     # (T, l1c) c64
+    dummy: np.ndarray = field(repr=False, default=None)          # (dummy,) c64
+    # sample domain
+    grid_src: np.ndarray = field(repr=False, default=None)       # (S, fft) i32
+    pilot_plane: np.ndarray = field(repr=False, default=None)    # (S, fft) f32
+    p1: np.ndarray = field(repr=False, default=None)             # (2048,) c64
+
+    @property
+    def fec_frames(self) -> int:
+        return self.batch_frames * self.cfg.fec_blocks
+
+    @property
+    def ts_bytes_in(self) -> int:
+        """Fresh TS bytes consumed per step (excludes the 187-byte carry)."""
+        return self.fec_frames * self.cfg.df_bytes
+
+    @property
+    def samples_out(self) -> int:
+        return self.batch_frames * self.cfg.samples_per_frame
+
+
+def min_batch_frames(cfg: T2Config) -> int:
+    """Smallest T2-frame batch with whole TS packets per step (phase 0)."""
+    per_frame = cfg.fec_blocks * cfg.df_bytes
+    g = np.gcd(per_frame, 188)
+    return int(188 // g)
+
+
+def build_plan(cfg: T2Config, batch_frames: Optional[int] = None,
+               strict: bool = True) -> TransmitPlan:
+    cfg.validate()
+    if batch_frames is None:
+        batch_frames = min_batch_frames(cfg)
+    plan = TransmitPlan(cfg=cfg, batch_frames=batch_frames)
+    n_fec = plan.fec_frames
+
+    # ---- bit domain -------------------------------------------------------
+    bb = BBFramePlan(cfg, n_fec, strict=strict)
+    plan.headers = bb.headers
+    plan.df_bit_src = (bb.df_byte_src[:, :, None] * 8
+                       + np.arange(8)[None, None, :]).reshape(
+                           n_fec, -1).astype(np.int32)
+    plan.packet_bit_src = (bb.packet_body_src[:, :, None] * 8
+                           + np.arange(8)[None, None, :]).reshape(
+                               bb.n_packets, -1).astype(np.int32)
+    plan.crc_matrix = bb.crc_matrix.astype(np.int8)
+    # CRC bit b of packet p overwrites df bit (frame, byte*8 + b)
+    pf = np.repeat(bb.crc_slot_frame, 8)
+    pb = (bb.crc_slot_byte[:, None] * 8 + np.arange(8)[None, :]).reshape(-1)
+    plan.crc_scatter = np.stack([pf, pb], axis=1).astype(np.int32)
+    plan.scramble = bb.scramble
+    plan.bch_matrix = parity_matrix(
+        cfg.kbch, cfg.frame_size == FrameSize.SHORT, cfg.bch_t).astype(np.int8)
+    plan.ldpc_gather, _ = encoder_gather(
+        cfg.frame_size, cfg.code_rate, cfg.ldpc_parity_bits, cfg.nbch,
+        cfg.q_ldpc)
+
+    # ---- cell domain ------------------------------------------------------
+    plan.mapper_perm = bit_permutation(cfg)
+    plan.qam = qam_lut(cfg.constellation, bool(cfg.rotation))
+
+    # ---- frame domain -----------------------------------------------------
+    plan.ti_perm = cell_interleaver.interleaver_permutation(cfg)
+    plan.l1pre = l1pre_cells(cfg)
+    plan.l1post_all = l1post_cells_all_frames(cfg)
+    dummy_bits = bb_scrambler(max(cfg.dummy_cells, 1))[: cfg.dummy_cells]
+    plan.dummy = (1.0 - 2.0 * dummy_bits.astype(np.float32)).astype(
+        np.complex64)
+
+    # ---- sample domain ----------------------------------------------------
+    src_grid, pilot_grid, cells_per_symbol = build_planes(cfg)
+    expected = ([cfg.c_p2] * cfg.n_p2
+                + [cfg.c_data] * cfg.num_plain_data_symbols
+                + ([cfg.n_fc] if cfg.has_fc_symbol else []))
+    assert cells_per_symbol.tolist() == expected, (
+        cells_per_symbol.tolist(), expected)
+    stream_to_seq = interleaved_stream_to_seq(cfg)
+    grid = src_grid.astype(np.int64)
+    valid = grid >= 0
+    grid[valid] = stream_to_seq[grid[valid]]
+    plan.grid_src = np.where(valid, grid, -1).astype(np.int32)
+    plan.pilot_plane = pilot_grid
+    plan.p1 = p1_waveform(cfg)
+    return plan
