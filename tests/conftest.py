@@ -1,0 +1,24 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+The axon TPU tunnel compiles slowly and cannot transfer complex64 buffers;
+tests exercise the identical XLA programs on the host CPU backend, with 8
+virtual devices so sharding tests run real collectives.
+"""
+import os
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+
+import jax  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session", autouse=True)
+def _cpu_default_device():
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        yield
+
+
+def cpu_devices(n=None):
+    devs = jax.devices("cpu")
+    return devs if n is None else devs[:n]
