@@ -1,0 +1,183 @@
+"""Multi-chip scaling (SURVEY.md sections 2.3 / 5.8).
+
+The reference has no parallelism beyond GNU Radio's thread-per-block
+pipeline.  The TPU design shards over a device mesh instead:
+
+  * ``mux``   - independent DVB-T2 channels (multi-mux scale-out, pure DP)
+  * ``frame`` - T2 frames of one channel (DP with a 187-byte halo on the
+                TS stream: the packet-CRC sync replacement looks back at
+                most 187 bytes, so each shard gets an overlapping window
+                and no cross-shard communication is needed at all)
+
+Both axes are embarrassingly parallel through the entire chain, which is
+the speed-of-light layout: zero collectives in steady state.  The only
+sequential state of the reference (TS byte phase, CRC-8 carry, T2 frame
+counter; SURVEY.md section 3.3) is resolved statically: the byte phase is
+static per plan, the CRC carry is the halo, and the frame counter is an
+arithmetic function of the step/shard index.
+
+Symbol-axis (sequence-parallel) sharding of one giant frame is provided by
+``grids_symbol_sharded`` for 32K single-frame latency work.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..config import T2Config
+from ..pipeline import _consts, transmit_step_iq
+from ..plan import TransmitPlan, build_plan
+
+
+def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
+              mux: int = 1, frame: Optional[int] = None) -> Mesh:
+    """A (mux, frame) mesh over the given devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    if frame is None:
+        frame = len(devices) // mux
+    assert mux * frame == len(devices), (mux, frame, len(devices))
+    arr = np.array(devices).reshape(mux, frame)
+    return Mesh(arr, ("mux", "frame"))
+
+
+def halo_windows(ts_streams: np.ndarray, carries: np.ndarray,
+                 n_shards: int) -> np.ndarray:
+    """Split (C, bytes) fresh TS streams into overlapping per-shard windows.
+
+    Returns (C, n_shards, 187 + bytes/n_shards) uint8.  carries is the
+    (C, 187) tail from the previous step.
+    """
+    c, total = ts_streams.shape
+    per = total // n_shards
+    assert per * n_shards == total
+    padded = np.concatenate([carries, ts_streams], axis=1)
+    out = np.empty((c, n_shards, 187 + per), dtype=np.uint8)
+    for s in range(n_shards):
+        out[:, s] = padded[:, s * per : s * per + 187 + per]
+    return out
+
+
+class ShardedTransmitter:
+    """N independent DVB-T2 muxes, frames sharded across a device mesh.
+
+    Each device runs the full single-chain transmit step on its
+    (mux-slice, frame-slice) block via shard_map; there is no cross-device
+    traffic in the hot path.
+    """
+
+    def __init__(self, cfg: T2Config, mesh: Mesh, n_mux: int = 1,
+                 frames_per_shard: Optional[int] = None,
+                 strict: bool = True):
+        self.cfg = cfg
+        self.mesh = mesh
+        self.n_mux = n_mux
+        mux_shards = mesh.shape["mux"]
+        frame_shards = mesh.shape["frame"]
+        if n_mux % mux_shards:
+            raise ValueError("n_mux must divide over the mux axis")
+        # each shard runs an independent plan instance of this many frames
+        self.plan = build_plan(cfg, frames_per_shard, strict=strict)
+        self.frame_shards = frame_shards
+        self.mux_per_shard = n_mux // mux_shards
+        self.frames_per_step = self.plan.batch_frames * frame_shards
+        self._carries = np.zeros((n_mux, 187), dtype=np.uint8)
+        self._step_no = 0
+        # plan constants must live on the mesh's platform (the axon tunnel
+        # registers a TPU default device even when the mesh is a CPU one)
+        self._mesh_dev = np.asarray(mesh.devices).flat[0]
+        with jax.default_device(self._mesh_dev):
+            _consts(self.plan)
+
+        plan = self.plan
+        t2 = cfg.t2_frames
+
+        def shard_fn(windows, frame_idx0):
+            # windows: (mux_per_shard, n_frame_shards_local=1 slice, bytes)
+            # inside shard_map each device sees its local block
+            def one_mux(w, fi):
+                return transmit_step_iq(plan, w, fi)
+            return jax.vmap(one_mux)(windows[:, 0], frame_idx0[:, 0])[:, None]
+
+        shard_map = getattr(jax, "shard_map", None)
+        if shard_map is None:  # pre-0.8 JAX
+            from jax.experimental.shard_map import shard_map
+        self._sharded = jax.jit(shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P("mux", "frame", None), P("mux", "frame")),
+            out_specs=P("mux", "frame", None, None, None),
+        ))
+
+    def step_device(self, ts_bytes: np.ndarray) -> jax.Array:
+        """ts_bytes: (n_mux, frames_per_step * df_bytes * fec_blocks) fresh
+        bytes per mux.  Returns float32
+        (n_mux, frame_shards, B_local, samples, 2) device array."""
+        cfg = self.cfg
+        windows = halo_windows(ts_bytes, self._carries, self.frame_shards)
+        self._carries = ts_bytes[:, -187:].copy()
+        # T2 frame index of the first frame of each shard
+        base = self._step_no * self.frames_per_step
+        fidx = (base + np.arange(self.frame_shards) * self.plan.batch_frames
+                ) % cfg.t2_frames
+        fidx = np.broadcast_to(fidx[None], (self.n_mux, self.frame_shards))
+        self._step_no += 1
+        with jax.default_device(self._mesh_dev):
+            return self._sharded(jnp.asarray(windows),
+                                 jnp.asarray(fidx, jnp.int32))
+
+    def __call__(self, ts_bytes: np.ndarray) -> np.ndarray:
+        """Returns complex64 (n_mux, frames_per_step, samples_per_frame)."""
+        iq = np.asarray(self.step_device(ts_bytes))
+        c = iq.shape[0]
+        return iq.reshape(c, self.frames_per_step, -1).view(np.complex64)
+
+    @property
+    def bytes_per_step_per_mux(self) -> int:
+        return self.plan.ts_bytes_in * self.frame_shards
+
+
+def grids_symbol_sharded(plan: TransmitPlan, mesh: Mesh, axis: str = "frame"):
+    """Sequence-parallel OFDM back-end: shard the (B, S, fft) grids over the
+    symbol axis for the batched IFFT + guard-interval stage - for very large
+    FFT sizes where a single frame's IFFTs dominate latency.  The symbol axis
+    is zero-padded to the shard count and each device IFFTs its contiguous
+    slab (explicit shard_map: XLA's CPU fft thunk rejects the padded layouts
+    GSPMD produces for non-divisible shardings).  Returns a jitted fn."""
+    from ..pipeline import bb_and_fec, build_frames, map_cells
+
+    cfg = plan.cfg
+    _consts(plan)
+    shard_map = getattr(jax, "shard_map", None)
+    if shard_map is None:  # pre-0.8 JAX
+        from jax.experimental.shard_map import shard_map
+    n = mesh.shape[axis]
+    fft, gi, s = cfg.fft_points, cfg.guard_samples, cfg.num_symbols
+    scale = np.complex64(fft * cfg.ofdm_normalization)
+
+    def local_ifft_gi(g):  # (B, S_pad/n, fft) on one device
+        t = (jnp.fft.ifft(g, axis=-1) * scale).astype(jnp.complex64)
+        return jnp.concatenate([t[..., fft - gi:], t], axis=-1)
+
+    spec = {"mux": P(None, axis, None), "frame": P(None, axis, None)}[axis]
+    sharded_ifft = shard_map(local_ifft_gi, mesh=mesh,
+                             in_specs=spec, out_specs=spec)
+
+    def fn(ts_padded, frame_idx0):
+        bits = bb_and_fec(plan, ts_padded)
+        cells = map_cells(plan, bits)
+        grids = build_frames(plan, cells, frame_idx0)
+        b = grids.shape[0]
+        pad = (-s) % n
+        g = jnp.pad(grids, ((0, 0), (0, pad), (0, 0)))
+        t = sharded_ifft(g)[:, :s]
+        body = t.reshape(b, s * (fft + gi))
+        c = _consts(plan)
+        p1 = jnp.tile(jnp.asarray(c["p1"])[None, :], (b, 1))
+        out = jnp.concatenate([p1, body], axis=1)
+        return jnp.stack([jnp.real(out), jnp.imag(out)], axis=-1)
+
+    return jax.jit(fn)

@@ -19,35 +19,35 @@ from .plan import TransmitPlan, build_plan
 
 
 def _consts(plan: TransmitPlan):
-    """Device-ready constants, cached on the plan.
+    """Trace-ready constants, cached on the plan as HOST numpy arrays.
 
-    The cache is only populated outside a trace (jnp.asarray inside jit
-    yields tracers, which must not leak across traces).
+    They stay numpy deliberately: jit bakes closure constants into the
+    compiled executable at trace time, so there is no per-call upload on
+    the hot path, and keeping them off-device avoids device->host constant
+    round-trips that the axon TPU tunnel cannot perform for complex64.
     """
-    c = getattr(plan, "_device_consts", None)
+    c = getattr(plan, "_trace_consts", None)
     if c is None:
         c = {
-            "headers": jnp.asarray(plan.headers, jnp.uint8),
-            "df_bit_src": jnp.asarray(plan.df_bit_src, jnp.int32),
-            "packet_bit_src": jnp.asarray(plan.packet_bit_src, jnp.int32),
-            "crc_matrix": jnp.asarray(plan.crc_matrix, jnp.int8),
-            "crc_scatter": jnp.asarray(plan.crc_scatter, jnp.int32),
-            "scramble": jnp.asarray(plan.scramble, jnp.uint8),
-            "bch_matrix": jnp.asarray(plan.bch_matrix, jnp.int8),
-            "ldpc_gather": jnp.asarray(plan.ldpc_gather, jnp.int32),
-            "mapper_perm": jnp.asarray(plan.mapper_perm, jnp.int32),
-            "qam": jnp.asarray(plan.qam, jnp.complex64),
-            "ti_perm": jnp.asarray(plan.ti_perm, jnp.int32),
-            "l1pre": jnp.asarray(plan.l1pre, jnp.complex64),
-            "l1post_all": jnp.asarray(plan.l1post_all, jnp.complex64),
-            "dummy": jnp.asarray(plan.dummy, jnp.complex64),
-            "grid_src": jnp.asarray(plan.grid_src, jnp.int32),
-            "pilot_plane": jnp.asarray(plan.pilot_plane, jnp.float32),
-            "p1": jnp.asarray(plan.p1, jnp.complex64),
+            "headers": np.asarray(plan.headers, np.uint8),
+            "df_bit_src": np.asarray(plan.df_bit_src, np.int32),
+            "packet_bit_src": np.asarray(plan.packet_bit_src, np.int32),
+            "crc_matrix": np.asarray(plan.crc_matrix, np.int8),
+            "crc_scatter": np.asarray(plan.crc_scatter, np.int32),
+            "scramble": np.asarray(plan.scramble, np.uint8),
+            "bch_matrix": np.asarray(plan.bch_matrix, np.int8),
+            "ldpc_gather": np.asarray(plan.ldpc_gather, np.int32),
+            "mapper_perm": np.asarray(plan.mapper_perm, np.int32),
+            "qam": np.asarray(plan.qam, np.complex64),
+            "ti_perm": np.asarray(plan.ti_perm, np.int32),
+            "l1pre": np.asarray(plan.l1pre, np.complex64),
+            "l1post_all": np.asarray(plan.l1post_all, np.complex64),
+            "dummy": np.asarray(plan.dummy, np.complex64),
+            "grid_src": np.asarray(plan.grid_src, np.int32),
+            "pilot_plane": np.asarray(plan.pilot_plane, np.float32),
+            "p1": np.asarray(plan.p1, np.complex64),
         }
-        if isinstance(jnp.zeros(()), jax.core.Tracer):
-            return c  # inside a trace: use but do not cache
-        plan._device_consts = c
+        plan._trace_consts = c
     return c
 
 
@@ -89,9 +89,10 @@ def map_cells(plan: TransmitPlan, frame_bits: jnp.ndarray) -> jnp.ndarray:
     words = jnp.matmul(
         cell_bits.reshape(frame_bits.shape[0], cfg.cell_size, mod)
         .astype(jnp.int32), weights)
-    cells = c["qam"][words]
+    qam = jnp.asarray(c["qam"])
+    cells = qam[words]
     if cfg.rotation:
-        delayed = c["qam"][jnp.roll(words, 1, axis=1)]
+        delayed = qam[jnp.roll(words, 1, axis=1)]
         cells = jax.lax.complex(jnp.real(cells), jnp.imag(delayed))
     return cells
 
@@ -106,7 +107,7 @@ def build_frames(plan: TransmitPlan, cells: jnp.ndarray,
     payload = stream[:, c["ti_perm"]]
 
     idx = (frame_idx0 + jnp.arange(b)) % cfg.t2_frames
-    l1post = c["l1post_all"][idx]  # (B, l1cells)
+    l1post = jnp.asarray(c["l1post_all"])[idx]  # (B, l1cells)
     seq = jnp.concatenate([
         jnp.tile(c["l1pre"][None, :], (b, 1)),
         l1post,

@@ -1,0 +1,65 @@
+"""End-to-end fast-path vs oracle across the BASELINE.json config matrix."""
+import numpy as np
+import pytest
+
+from dvbt2ll_tpu import refmodel
+from dvbt2ll_tpu.config import (CarrierMode, CodeRate, Constellation, FFTSize,
+                                FrameSize, GuardInterval, PilotPattern,
+                                Rotation, T2Config)
+from dvbt2ll_tpu.io import synthetic_ts
+from dvbt2ll_tpu.pipeline import Transmitter
+
+
+def _snr_db(cfg, batch=1, seed=31):
+    tx = Transmitter(cfg, batch, strict=False)
+    ts = synthetic_ts(tx.bytes_per_step, seed=seed)
+    out = tx(ts)
+    ref = refmodel.transmit_chain(cfg, ts, batch).reshape(batch, -1)
+    err = (np.abs(out - ref) ** 2).sum()
+    return 10 * np.log10(
+        float((np.abs(ref) ** 2).sum()) / max(float(err), 1e-30))
+
+
+def test_8k_normal_64qam_pp3():
+    """BASELINE.json config 2: 8K FFT, normal LDPC frames, 64QAM, PP3, GI 1/16."""
+    cfg = T2Config(
+        frame_size=FrameSize.NORMAL, code_rate=CodeRate.C2_3,
+        constellation=Constellation.QAM64, rotation=Rotation.OFF,
+        fft_size=FFTSize.FFT_8K, guard_interval=GuardInterval.GI_1_16,
+        pilot_pattern=PilotPattern.PP3, fec_blocks=2, ti_blocks=1,
+        t2_frames=2, num_data_symbols=8).validate()
+    assert _snr_db(cfg) > 100.0
+
+
+def test_32k_extended_256qam_rot_pp7_long_ti():
+    """BASELINE.json config 3: 32K extended carriers, 256QAM rotated, PP7,
+    multi-block time interleaver (uses the inverted-odd 32K Heven,
+    reference lib/framemapperfint_cc_impl.cc:961-977)."""
+    cfg = T2Config(
+        frame_size=FrameSize.NORMAL, code_rate=CodeRate.C4_5,
+        constellation=Constellation.QAM256, rotation=Rotation.ON,
+        fft_size=FFTSize.FFT_32K, guard_interval=GuardInterval.GI_1_32,
+        pilot_pattern=PilotPattern.PP7, carrier_mode=CarrierMode.EXTENDED,
+        fec_blocks=4, ti_blocks=2, t2_frames=2, num_data_symbols=4).validate()
+    assert _snr_db(cfg) > 100.0
+
+
+def test_16k_extended_16qam():
+    """Coverage of the remaining large FFT size + 16QAM + extended mode."""
+    cfg = T2Config(
+        frame_size=FrameSize.SHORT, code_rate=CodeRate.C3_5,
+        constellation=Constellation.QAM16, rotation=Rotation.ON,
+        fft_size=FFTSize.FFT_16K, guard_interval=GuardInterval.GI_1_8,
+        pilot_pattern=PilotPattern.PP3, carrier_mode=CarrierMode.EXTENDED,
+        fec_blocks=3, ti_blocks=1, t2_frames=2, num_data_symbols=6).validate()
+    assert _snr_db(cfg) > 100.0
+
+
+def test_2k_qpsk_small():
+    cfg = T2Config(
+        frame_size=FrameSize.SHORT, code_rate=CodeRate.C1_2,
+        constellation=Constellation.QPSK, rotation=Rotation.OFF,
+        fft_size=FFTSize.FFT_2K, guard_interval=GuardInterval.GI_1_8,
+        pilot_pattern=PilotPattern.PP1, fec_blocks=1, ti_blocks=1,
+        t2_frames=2, num_data_symbols=16).validate()
+    assert _snr_db(cfg) > 100.0

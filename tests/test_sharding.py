@@ -1,0 +1,74 @@
+"""Shard-count invariance: N-device output == sequential single-chain output.
+
+SURVEY.md section 4 item (4): multi-chip tests asserting 1 chip vs N chips
+bit-identical, run on the virtual 8-device CPU mesh (conftest.py).
+"""
+import jax
+import numpy as np
+import pytest
+
+from dvbt2ll_tpu.config import vv009_config
+from dvbt2ll_tpu.io import synthetic_ts
+from dvbt2ll_tpu.parallel import ShardedTransmitter, make_mesh
+from dvbt2ll_tpu.pipeline import Transmitter
+from dvbt2ll_tpu.plan import build_plan
+
+
+def _sequential(cfg, ts, n_steps, batch):
+    tx = Transmitter(cfg, batch, strict=False)
+    outs = [tx(ts[i * tx.bytes_per_step:(i + 1) * tx.bytes_per_step])
+            for i in range(n_steps)]
+    return np.concatenate(outs, axis=0)  # (n_steps*batch, samples)
+
+
+def test_frame_sharded_equals_sequential():
+    cfg = vv009_config()
+    mesh = make_mesh(jax.devices("cpu")[:8], mux=1)
+    stx = ShardedTransmitter(cfg, mesh, n_mux=1, frames_per_shard=1,
+                             strict=False)
+    ts = synthetic_ts(stx.bytes_per_step_per_mux, seed=21)
+    sharded = stx(ts[None, :])[0]            # (8 frames, samples)
+    seq = _sequential(cfg, ts, 8, 1)
+    assert sharded.shape == seq.shape
+    assert np.array_equal(sharded, seq)      # bit-identical, not just close
+
+
+def test_mux_and_frame_sharded_equals_sequential():
+    cfg = vv009_config()
+    mesh = make_mesh(jax.devices("cpu")[:8], mux=2)
+    stx = ShardedTransmitter(cfg, mesh, n_mux=2, frames_per_shard=1,
+                             strict=False)
+    nbytes = stx.bytes_per_step_per_mux
+    ts = np.stack([synthetic_ts(nbytes, seed=22), synthetic_ts(nbytes, seed=23)])
+    sharded = stx(ts)                        # (2, 4 frames, samples)
+    for c in range(2):
+        seq = _sequential(cfg, ts[c], 4, 1)
+        assert np.array_equal(sharded[c], seq)
+
+
+def test_frame_sharded_streaming_carry():
+    """The halo carry must hold across sharded steps too."""
+    cfg = vv009_config()
+    mesh = make_mesh(jax.devices("cpu")[:4], mux=1)
+    stx = ShardedTransmitter(cfg, mesh, n_mux=1, frames_per_shard=1,
+                             strict=False)
+    n = stx.bytes_per_step_per_mux
+    ts = synthetic_ts(2 * n, seed=24)
+    out = np.concatenate([stx(ts[None, :n])[0], stx(ts[None, n:])[0]], axis=0)
+    seq = _sequential(cfg, ts, 8, 1)
+    assert np.array_equal(out, seq)
+
+
+def test_symbol_sharded_modulate_matches():
+    from dvbt2ll_tpu.parallel import grids_symbol_sharded
+    cfg = vv009_config()
+    plan = build_plan(cfg, 1, strict=False)
+    mesh = make_mesh(jax.devices("cpu")[:8], mux=1)  # 7 symbols over 8 devs
+    fn = grids_symbol_sharded(plan, mesh)
+    ts = synthetic_ts(plan.ts_bytes_in, seed=25)
+    padded = np.concatenate([np.zeros(187, np.uint8), ts])
+    import jax.numpy as jnp
+    sharded = np.asarray(fn(jnp.asarray(padded), jnp.int32(0)))
+    tx = Transmitter(cfg, 1, strict=False)
+    ref = np.asarray(tx.step_device(ts))
+    assert np.array_equal(sharded, ref)
