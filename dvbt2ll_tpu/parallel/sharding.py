@@ -158,7 +158,11 @@ def grids_symbol_sharded(plan: TransmitPlan, mesh: Mesh, axis: str = "frame"):
     fft, gi, s = cfg.fft_points, cfg.guard_samples, cfg.num_symbols
     scale = np.complex64(fft * cfg.ofdm_normalization)
 
+    eq = _consts(plan)["eq"]
+
     def local_ifft_gi(g):  # (B, S_pad/n, fft) on one device
+        if eq is not None:
+            g = g * eq
         t = (jnp.fft.ifft(g, axis=-1) * scale).astype(jnp.complex64)
         return jnp.concatenate([t[..., fft - gi:], t], axis=-1)
 

@@ -45,6 +45,8 @@ def _consts(plan: TransmitPlan):
             "dummy": np.asarray(plan.dummy, np.complex64),
             "grid_src": np.asarray(plan.grid_src, np.int32),
             "pilot_plane": np.asarray(plan.pilot_plane, np.float32),
+            "eq": (None if plan.eq is None
+                   else np.asarray(plan.eq, np.float32)),
             "p1": np.asarray(plan.p1, np.complex64),
         }
         plan._trace_consts = c
@@ -129,6 +131,8 @@ def modulate(plan: TransmitPlan, grids: jnp.ndarray) -> jnp.ndarray:
     c = _consts(plan)
     fft = cfg.fft_points
     gi = cfg.guard_samples
+    if c["eq"] is not None:  # inverse-sinc pre-equalization
+        grids = grids * c["eq"]
     time = jnp.fft.ifft(grids, axis=-1) * (fft * cfg.ofdm_normalization)
     time = time.astype(jnp.complex64)
     with_gi = jnp.concatenate([time[..., fft - gi :], time], axis=-1)

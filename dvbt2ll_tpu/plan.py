@@ -111,6 +111,7 @@ class TransmitPlan:
     # sample domain
     grid_src: np.ndarray = field(repr=False, default=None)       # (S, fft) i32
     pilot_plane: np.ndarray = field(repr=False, default=None)    # (S, fft) f32
+    eq: Optional[np.ndarray] = field(repr=False, default=None)   # (fft,) f32
     p1: np.ndarray = field(repr=False, default=None)             # (2048,) c64
 
     @property
@@ -188,5 +189,8 @@ def build_plan(cfg: T2Config, batch_frames: Optional[int] = None,
     grid[valid] = stream_to_seq[grid[valid]]
     plan.grid_src = np.where(valid, grid, -1).astype(np.int32)
     plan.pilot_plane = pilot_grid
+    if cfg.equalization:
+        from .tables.pilots import inverse_sinc
+        plan.eq = inverse_sinc(cfg)
     plan.p1 = p1_waveform(cfg)
     return plan

@@ -273,6 +273,15 @@ def ofdm_modulate(cfg: T2Config, mapped: np.ndarray) -> np.ndarray:
                 if inverted[n]:
                     sign = -sign
                 row[left + n] = amp[int(t)] * sign
+        if cfg.equalization:
+            # inverse-sinc pre-equalization in pre-shift carrier order
+            # (reference :1179-1219 build, :2887-2889 apply)
+            x = np.pi * np.arange(fft // 2) / fft
+            sinc = np.ones(fft // 2)
+            sinc[1:] = np.sin(x[1:]) / x[1:]
+            rms = np.sqrt(np.mean(sinc * sinc))
+            half = rms / sinc
+            row = row * np.concatenate([half[::-1], half])
         # ifftshift halves, unnormalized backward FFT, scale
         time = fft * np.fft.ifft(np.fft.ifftshift(row))
         time *= cfg.ofdm_normalization

@@ -267,3 +267,22 @@ def p1_waveform(cfg: T2Config) -> np.ndarray:
 
     out = np.concatenate([p1_shift[:542], p1_time, p1_shift[542:1024]])
     return out.astype(np.complex64)
+
+
+def inverse_sinc(cfg: T2Config) -> np.ndarray:
+    """Per-bin inverse-sinc pre-equalization multipliers, IFFT bin order.
+
+    The reference builds a half-table of 1/sinc(pi*f/fs) with f = i*fs/v
+    (so the shape is bandwidth-independent), mirrors it about the centre
+    carrier, and scales by the RMS of the sinc over the half grid
+    (lib/pilotgenp1insert_cc_impl.cc:1179-1219); it is multiplied into the
+    assembled carrier grid just before the IFFT (:2887-2889).
+    """
+    v = cfg.fft_points
+    x = np.pi * np.arange(v // 2) / v
+    sinc = np.ones(v // 2)
+    sinc[1:] = np.sin(x[1:]) / x[1:]
+    rms = math.sqrt(float(np.mean(sinc * sinc)))
+    half = rms / sinc
+    pre_shift = np.concatenate([half[::-1], half])
+    return np.fft.ifftshift(pre_shift).astype(np.float32)

@@ -63,3 +63,16 @@ def test_2k_qpsk_small():
         pilot_pattern=PilotPattern.PP1, fec_blocks=1, ti_blocks=1,
         t2_frames=2, num_data_symbols=16).validate()
     assert _snr_db(cfg) > 100.0
+
+
+def test_vv009_with_inverse_sinc_equalization():
+    from dvbt2ll_tpu.config import vv009_config
+    import dataclasses
+    cfg = dataclasses.replace(vv009_config(), equalization=True)
+    assert _snr_db(cfg) > 100.0
+    # the equalized output must actually differ from the unequalized one
+    tx_eq = Transmitter(cfg, 1, strict=False)
+    tx_no = Transmitter(dataclasses.replace(cfg, equalization=False), 1,
+                        strict=False)
+    ts = synthetic_ts(tx_eq.bytes_per_step, seed=41)
+    assert not np.allclose(tx_eq(ts), tx_no(ts))
