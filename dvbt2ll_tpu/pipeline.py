@@ -30,8 +30,6 @@ def _consts(plan: TransmitPlan):
     if c is None:
         c = {
             "headers": np.asarray(plan.headers, np.uint8),
-            "df_bit_src": np.asarray(plan.df_bit_src, np.int32),
-            "packet_bit_src": np.asarray(plan.packet_bit_src, np.int32),
             "crc_matrix": np.asarray(plan.crc_matrix, np.int8),
             "crc_scatter": np.asarray(plan.crc_scatter, np.int32),
             "scramble": np.asarray(plan.scramble, np.uint8),
@@ -54,17 +52,27 @@ def _consts(plan: TransmitPlan):
 
 
 def bb_and_fec(plan: TransmitPlan, ts_padded: jnp.ndarray) -> jnp.ndarray:
-    """TS bytes (187 carry + fresh) -> LDPC frame bits (F, frame_bits) u8."""
+    """TS bytes (187 carry + fresh) -> LDPC frame bits (F, frame_bits) u8.
+
+    The TS->DF byte map is affine (one input byte per DF slot, packet phase
+    0 at the step start), so this is all reshapes and static slices - no
+    per-frame gather tables (which would grow O(batch) and dwarf the data).
+    """
     cfg = plan.cfg
     c = _consts(plan)
+    f, p = plan.fec_frames, plan.n_packets
+    df_bits = (cfg.kbch - 80)
     bits = jnp.unpackbits(ts_padded)  # MSB-first
 
-    df = bits[c["df_bit_src"]]  # (F, df_bits)
-    pkt = bits[c["packet_bit_src"]].astype(jnp.int8)  # (P, 1496)
+    df = bits[187 * 8:].reshape(f, df_bits)
+    # packet body i = padded bytes [188*i, 188*i + 187): rows of a strided
+    # view, dropping each row's trailing sync/CRC slot byte
+    pkt = (bits[: p * 188 * 8].reshape(p, 188 * 8)[:, : 187 * 8]
+           .astype(jnp.int8))
     crc = (jnp.matmul(pkt, c["crc_matrix"],
                       preferred_element_type=jnp.int32) & 1).astype(jnp.uint8)
-    df = df.at[c["crc_scatter"][:, 0].reshape(-1, 8),
-               c["crc_scatter"][:, 1].reshape(-1, 8)].set(crc)
+    df = df.reshape(-1).at[c["crc_scatter"]].set(
+        crc.reshape(-1)).reshape(f, df_bits)
 
     kbch_bits = jnp.concatenate(
         [c["headers"], df], axis=1) ^ c["scramble"][None, :]

@@ -91,12 +91,15 @@ class TransmitPlan:
     cfg: T2Config
     batch_frames: int                  # T2 frames per step
 
-    # bit domain
+    # bit domain.  The TS->DF map is affine (each DF byte slot consumes one
+    # input byte, step starts at packet phase 0), so there are no per-frame
+    # gather tables: DF bits are the fresh bits reshaped, packet bodies are
+    # a strided view of the padded bits, and only the CRC scatter indices
+    # (one per packet) are materialized.
     headers: np.ndarray = field(repr=False, default=None)        # (F, 80) u8
-    df_bit_src: np.ndarray = field(repr=False, default=None)     # (F, dfbits) i32
-    packet_bit_src: np.ndarray = field(repr=False, default=None) # (P, 1496) i32
+    n_packets: int = 0                                           # P
     crc_matrix: np.ndarray = field(repr=False, default=None)     # (1496, 8) i8
-    crc_scatter: np.ndarray = field(repr=False, default=None)    # (P, 8, 2) i32
+    crc_scatter: np.ndarray = field(repr=False, default=None)    # (P*8,) i32
     scramble: np.ndarray = field(repr=False, default=None)       # (kbch,) u8
     bch_matrix: np.ndarray = field(repr=False, default=None)     # (kbch, npar) i8
     ldpc_gather: np.ndarray = field(repr=False, default=None)    # (plen, D) i32
@@ -146,17 +149,11 @@ def build_plan(cfg: T2Config, batch_frames: Optional[int] = None,
     # ---- bit domain -------------------------------------------------------
     bb = BBFramePlan(cfg, n_fec, strict=strict)
     plan.headers = bb.headers
-    plan.df_bit_src = (bb.df_byte_src[:, :, None] * 8
-                       + np.arange(8)[None, None, :]).reshape(
-                           n_fec, -1).astype(np.int32)
-    plan.packet_bit_src = (bb.packet_body_src[:, :, None] * 8
-                           + np.arange(8)[None, None, :]).reshape(
-                               bb.n_packets, -1).astype(np.int32)
+    plan.n_packets = bb.n_packets
     plan.crc_matrix = bb.crc_matrix.astype(np.int8)
-    # CRC bit b of packet p overwrites df bit (frame, byte*8 + b)
-    pf = np.repeat(bb.crc_slot_frame, 8)
-    pb = (bb.crc_slot_byte[:, None] * 8 + np.arange(8)[None, :]).reshape(-1)
-    plan.crc_scatter = np.stack([pf, pb], axis=1).astype(np.int32)
+    # CRC bit b of packet p overwrites flat DF bit sync_slot*8 + b
+    plan.crc_scatter = (bb.sync_slots[:, None] * 8
+                        + np.arange(8)[None, :]).reshape(-1).astype(np.int32)
     plan.scramble = bb.scramble
     plan.bch_matrix = parity_matrix(
         cfg.kbch, cfg.frame_size == FrameSize.SHORT, cfg.bch_t).astype(np.int8)
