@@ -9,14 +9,14 @@ frames, sharded across chips with jax.sharding.
 from .config import (Bandwidth, CarrierMode, CodeRate, Constellation, FFTSize,
                      FrameSize, GuardInterval, InBand, InputMode,
                      L1Constellation, MisoGroup, PAPR, PilotPattern, Preamble,
-                     Rotation, T2Config, Version, vv009_config)
+                     PLPConfig, Rotation, T2Config, Version, vv009_config)
 from .pipeline import Transmitter, transmit_step
 from .plan import TransmitPlan, build_plan, min_batch_frames
 
 __version__ = "0.1.0"
 
 __all__ = [
-    "T2Config", "vv009_config", "Transmitter", "TransmitPlan", "build_plan",
+    "T2Config", "PLPConfig", "vv009_config", "Transmitter", "TransmitPlan", "build_plan",
     "transmit_step", "min_batch_frames",
     "Bandwidth", "CarrierMode", "CodeRate", "Constellation", "FFTSize",
     "FrameSize", "GuardInterval", "InBand", "InputMode", "L1Constellation",

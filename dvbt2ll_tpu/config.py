@@ -13,6 +13,7 @@ serialized verbatim into L1 signalling fields.
 """
 from __future__ import annotations
 
+import dataclasses
 import math
 from dataclasses import dataclass
 from enum import IntEnum
@@ -358,6 +359,26 @@ _ROTATION_DEG = {
 
 
 @dataclass(frozen=True)
+class PLPConfig:
+    """Per-PLP parameters for a multi-PLP T2 frame (EN 302 755 section 8.3).
+
+    The reference hardcodes a single PLP (lib/framemapperfint_cc_impl.cc:153
+    ``num_plp = 1``); the framework generalizes to type-1 data PLPs with
+    mixed code rates / constellations, each with its own FEC chain and time
+    interleaver, mapped into the frame in plp_id order.
+    """
+
+    plp_id: int = 0
+    code_rate: CodeRate = CodeRate.C4_5
+    constellation: Constellation = Constellation.QAM256
+    rotation: Rotation = Rotation.ON
+    frame_size: FrameSize = FrameSize.SHORT
+    fec_blocks: int = 8
+    ti_blocks: int = 3
+    plp_group_id: int = 1
+
+
+@dataclass(frozen=True)
 class T2Config:
     """Complete configuration of one DVB-T2 transmit chain."""
 
@@ -390,6 +411,13 @@ class T2Config:
     network_id: int = 0x3085
     t2_system_id: int = 0x8001
     frequency: int = 729_833_333
+    # multi-PLP: empty tuple = single PLP defined by the top-level fields
+    plps: tuple = ()
+    # FEF parts (EN 302 755 section 8.4): a FEF part of fef_length samples
+    # follows every fef_interval-th T2 frame when fef_length > 0
+    fef_length: int = 0
+    fef_type: int = 0
+    fef_interval: int = 1
 
     # ------------------------------------------------------------------ FEC
     @cached_property
@@ -446,8 +474,45 @@ class T2Config:
 
     @property
     def stream_cells(self) -> int:
-        """Payload cells per T2 frame."""
+        """Payload cells per T2 frame (this config's own PLP)."""
         return self.cell_size * self.fec_blocks
+
+    # ------------------------------------------------------------- multi-PLP
+    @property
+    def num_plp(self) -> int:
+        return max(1, len(self.plps))
+
+    @cached_property
+    def plp_configs(self) -> tuple:
+        """Effective chain config per PLP: clones of this config with the
+        PLP's FEC/mapping fields (a single-PLP config is its own entry)."""
+        if not self.plps:
+            return (self,)
+        return tuple(
+            dataclasses.replace(
+                self, plps=(), code_rate=p.code_rate,
+                constellation=p.constellation, rotation=p.rotation,
+                frame_size=p.frame_size, fec_blocks=p.fec_blocks,
+                ti_blocks=p.ti_blocks)
+            for p in self.plps)
+
+    @property
+    def total_stream_cells(self) -> int:
+        """Payload cells per T2 frame summed over all PLPs."""
+        return sum(c.stream_cells for c in self.plp_configs)
+
+    @property
+    def plp_starts(self) -> tuple:
+        """Cell offset of each PLP's slice within the payload region."""
+        starts, pos = [], 0
+        for c in self.plp_configs:
+            starts.append(pos)
+            pos += c.stream_cells
+        return tuple(starts)
+
+    @property
+    def has_fef(self) -> bool:
+        return self.fef_length > 0
 
     @property
     def rotation_angle_deg(self) -> float:
@@ -603,11 +668,20 @@ class T2Config:
                 L1Constellation.QAM16: 4, L1Constellation.QAM64: 6}[
                     self.l1_constellation]
 
+    @property
+    def ksig_post(self) -> int:
+        """L1-post signalling bits incl. CRC-32: 318 for one PLP (matching
+        the reference's fixed KSIG_POST=350 minus nothing), plus 137 bits
+        (89 configurable + 48 dynamic) per additional PLP, plus 34 FEF
+        fields when S2 signals mixed frames."""
+        return (318 + (self.num_plp - 1) * 137
+                + (34 if self.has_fef else 0) + 32)
+
     @cached_property
     def l1post_sizes(self):
         """(N_post, N_punc); reference lib/framemapperfint_cc_impl.cc:978-987."""
-        n_punc_temp = (6 * (KBCH_1_2 - KSIG_POST)) // 5
-        n_post_temp = KSIG_POST + NBCH_PARITY + 9000 - n_punc_temp
+        n_punc_temp = (6 * (KBCH_1_2 - self.ksig_post)) // 5
+        n_post_temp = self.ksig_post + NBCH_PARITY + 9000 - n_punc_temp
         eta = self.eta_mod
         if self.n_p2 == 1:
             n_post = math.ceil(n_post_temp / (2 * eta)) * 2 * eta
@@ -629,7 +703,7 @@ class T2Config:
 
     @property
     def dummy_cells(self) -> int:
-        n = (self.mapped_cells - self.stream_cells - N_L1PRE_CELLS
+        n = (self.mapped_cells - self.total_stream_cells - N_L1PRE_CELLS
              - self.l1post_cells - (self.n_fc - self.c_fc))
         if n < 0:
             raise ValueError(
@@ -661,6 +735,27 @@ class T2Config:
             raise ValueError("fec_blocks must be >= 1")
         if self.ti_blocks > self.fec_blocks:
             raise ValueError("ti_blocks must be <= fec_blocks")
+        if self.plps:
+            ids = [p.plp_id for p in self.plps]
+            if len(set(ids)) != len(ids):
+                raise ValueError("plp_id values must be unique")
+            for c in self.plp_configs:
+                _ = c.fec
+                if c.ti_blocks > c.fec_blocks:
+                    raise ValueError("ti_blocks must be <= fec_blocks per PLP")
+        if self.ksig_post > KBCH_1_2:
+            raise ValueError("too many PLPs for the L1-post capacity")
+        if self.has_fef:
+            if self.fef_length < 2048:
+                raise ValueError("fef_length must cover at least the FEF P1")
+            if self.fef_length >= 1 << 24:
+                raise ValueError("fef_length exceeds 24-bit L1 field")
+            if not 1 <= self.fef_interval <= 255:
+                raise ValueError("fef_interval must be in 1..255")
+            if self.t2_frames % self.fef_interval:
+                raise ValueError(
+                    "fef_interval must divide t2_frames (whole FEF parts "
+                    "per super-frame)")
         return self
 
 

@@ -89,6 +89,10 @@ class ShardedTransmitter:
         self._step_no = 0
         # plan constants must live on the mesh's platform (the axon tunnel
         # registers a TPU default device even when the mesh is a CPU one)
+        if len(self.plan.plps) != 1:
+            raise NotImplementedError(
+                "ShardedTransmitter currently shards single-PLP chains; "
+                "multi-PLP muxes scale out over the mux axis")
         self._mesh_dev = np.asarray(mesh.devices).flat[0]
         with jax.default_device(self._mesh_dev):
             _consts(self.plan)
@@ -147,7 +151,8 @@ def grids_symbol_sharded(plan: TransmitPlan, mesh: Mesh, axis: str = "frame"):
     is zero-padded to the shard count and each device IFFTs its contiguous
     slab (explicit shard_map: XLA's CPU fft thunk rejects the padded layouts
     GSPMD produces for non-divisible shardings).  Returns a jitted fn."""
-    from ..pipeline import bb_and_fec, build_frames, map_cells
+    from ..pipeline import (_as_windows, bb_and_fec, build_frames, map_cells,
+                            ti_payload)
 
     cfg = plan.cfg
     _consts(plan)
@@ -171,9 +176,13 @@ def grids_symbol_sharded(plan: TransmitPlan, mesh: Mesh, axis: str = "frame"):
                              in_specs=spec, out_specs=spec)
 
     def fn(ts_padded, frame_idx0):
-        bits = bb_and_fec(plan, ts_padded)
-        cells = map_cells(plan, bits)
-        grids = build_frames(plan, cells, frame_idx0)
+        payloads = []
+        for pp, w in zip(plan.plps, _as_windows(plan, ts_padded)):
+            cells = map_cells(pp, bb_and_fec(pp, w))
+            payloads.append(ti_payload(pp, cells, plan.batch_frames))
+        payload = (payloads[0] if len(payloads) == 1
+                   else jnp.concatenate(payloads, axis=1))
+        grids = build_frames(plan, payload, frame_idx0)
         b = grids.shape[0]
         pad = (-s) % n
         g = jnp.pad(grids, ((0, 0), (0, pad), (0, 0)))

@@ -1,43 +1,54 @@
 """The jitted DVB-T2 transmit pipeline.
 
-One XLA program turns a window of TS bytes into baseband IQ for a batch of
-T2 frames.  Covers the full fused chain of the reference's four stream blocks
-plus the in-tree LDPC encoder it relies on (see SURVEY.md section 0).
-All tables come from a host-built :class:`~dvbt2ll_tpu.plan.TransmitPlan`.
+One XLA program turns windows of TS bytes (one per PLP) into baseband IQ
+for a batch of T2 frames.  Covers the full fused chain of the reference's
+four stream blocks plus the in-tree LDPC encoder it relies on (see
+SURVEY.md section 0), generalized to multi-PLP frames.  All tables come
+from a host-built :class:`~dvbt2ll_tpu.plan.TransmitPlan`.
 """
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import List, Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .config import T2Config
-from .plan import TransmitPlan, build_plan
+from .plan import PlpPlan, TransmitPlan, build_plan
 
 
-def _consts(plan: TransmitPlan):
-    """Trace-ready constants, cached on the plan as HOST numpy arrays.
+def _plp_consts(pp: PlpPlan):
+    """Trace-ready per-PLP constants, cached as HOST numpy arrays.
 
     They stay numpy deliberately: jit bakes closure constants into the
     compiled executable at trace time, so there is no per-call upload on
     the hot path, and keeping them off-device avoids device->host constant
     round-trips that the axon TPU tunnel cannot perform for complex64.
     """
+    c = getattr(pp, "_trace_consts", None)
+    if c is None:
+        c = {
+            "headers": np.asarray(pp.headers, np.uint8),
+            "crc_matrix": np.asarray(pp.crc_matrix, np.int8),
+            "crc_scatter": np.asarray(pp.crc_scatter, np.int32),
+            "scramble": np.asarray(pp.scramble, np.uint8),
+            "bch_matrix": np.asarray(pp.bch_matrix, np.int8),
+            "ldpc_gather": np.asarray(pp.ldpc_gather, np.int32),
+            "mapper_perm": np.asarray(pp.mapper_perm, np.int32),
+            "qam": np.asarray(pp.qam, np.complex64),
+            "ti_perm": np.asarray(pp.ti_perm, np.int32),
+        }
+        pp._trace_consts = c
+    return c
+
+
+def _consts(plan: TransmitPlan):
+    """Trace-ready frame/sample-domain constants (host numpy, see above)."""
     c = getattr(plan, "_trace_consts", None)
     if c is None:
         c = {
-            "headers": np.asarray(plan.headers, np.uint8),
-            "crc_matrix": np.asarray(plan.crc_matrix, np.int8),
-            "crc_scatter": np.asarray(plan.crc_scatter, np.int32),
-            "scramble": np.asarray(plan.scramble, np.uint8),
-            "bch_matrix": np.asarray(plan.bch_matrix, np.int8),
-            "ldpc_gather": np.asarray(plan.ldpc_gather, np.int32),
-            "mapper_perm": np.asarray(plan.mapper_perm, np.int32),
-            "qam": np.asarray(plan.qam, np.complex64),
-            "ti_perm": np.asarray(plan.ti_perm, np.int32),
             "l1pre": np.asarray(plan.l1pre, np.complex64),
             "l1post_all": np.asarray(plan.l1post_all, np.complex64),
             "dummy": np.asarray(plan.dummy, np.complex64),
@@ -46,22 +57,24 @@ def _consts(plan: TransmitPlan):
             "eq": (None if plan.eq is None
                    else np.asarray(plan.eq, np.float32)),
             "p1": np.asarray(plan.p1, np.complex64),
+            "fef_part": (None if plan.fef_part is None
+                         else np.asarray(plan.fef_part, np.complex64)),
         }
         plan._trace_consts = c
     return c
 
 
-def bb_and_fec(plan: TransmitPlan, ts_padded: jnp.ndarray) -> jnp.ndarray:
+def bb_and_fec(pp: PlpPlan, ts_padded: jnp.ndarray) -> jnp.ndarray:
     """TS bytes (187 carry + fresh) -> LDPC frame bits (F, frame_bits) u8.
 
     The TS->DF byte map is affine (one input byte per DF slot, packet phase
     0 at the step start), so this is all reshapes and static slices - no
     per-frame gather tables (which would grow O(batch) and dwarf the data).
     """
-    cfg = plan.cfg
-    c = _consts(plan)
-    f, p = plan.fec_frames, plan.n_packets
-    df_bits = (cfg.kbch - 80)
+    cfg = pp.cfg
+    c = _plp_consts(pp)
+    f, p = pp.fec_frames, pp.n_packets
+    df_bits = cfg.kbch - 80
     bits = jnp.unpackbits(ts_padded)  # MSB-first
 
     df = bits[187 * 8:].reshape(f, df_bits)
@@ -89,10 +102,10 @@ def bb_and_fec(plan: TransmitPlan, ts_padded: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([nbch_bits, ldpc_par], axis=1)
 
 
-def map_cells(plan: TransmitPlan, frame_bits: jnp.ndarray) -> jnp.ndarray:
+def map_cells(pp: PlpPlan, frame_bits: jnp.ndarray) -> jnp.ndarray:
     """LDPC frames -> constellation cells (F, cell_size) c64."""
-    cfg = plan.cfg
-    c = _consts(plan)
+    cfg = pp.cfg
+    c = _plp_consts(pp)
     mod = cfg.mod_bits
     cell_bits = frame_bits[:, c["mapper_perm"]]
     weights = jnp.asarray(1 << np.arange(mod - 1, -1, -1), jnp.int32)
@@ -107,14 +120,19 @@ def map_cells(plan: TransmitPlan, frame_bits: jnp.ndarray) -> jnp.ndarray:
     return cells
 
 
-def build_frames(plan: TransmitPlan, cells: jnp.ndarray,
+def ti_payload(pp: PlpPlan, cells: jnp.ndarray, batch: int) -> jnp.ndarray:
+    """FEC-frame cells (F, cell) -> cell/time-interleaved (B, stream)."""
+    c = _plp_consts(pp)
+    stream = cells.reshape(batch, pp.cfg.stream_cells)
+    return stream[:, c["ti_perm"]]
+
+
+def build_frames(plan: TransmitPlan, payload: jnp.ndarray,
                  frame_idx0: jnp.ndarray) -> jnp.ndarray:
-    """FEC-frame cells (F, cell) -> OFDM grids (B, S, fft) c64."""
+    """Interleaved payload (B, total_stream) -> OFDM grids (B, S, fft)."""
     cfg = plan.cfg
     c = _consts(plan)
     b = plan.batch_frames
-    stream = cells.reshape(b, cfg.stream_cells)
-    payload = stream[:, c["ti_perm"]]
 
     idx = (frame_idx0 + jnp.arange(b)) % cfg.t2_frames
     l1post = jnp.asarray(c["l1post_all"])[idx]  # (B, l1cells)
@@ -150,16 +168,30 @@ def modulate(plan: TransmitPlan, grids: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([p1, body], axis=1)
 
 
-def transmit_step(plan: TransmitPlan, ts_padded: jnp.ndarray,
+def _as_windows(plan: TransmitPlan, ts_padded) -> List[jnp.ndarray]:
+    if isinstance(ts_padded, (list, tuple)):
+        ws = list(ts_padded)
+    else:
+        ws = [ts_padded]
+    assert len(ws) == len(plan.plps), (len(ws), len(plan.plps))
+    return ws
+
+
+def transmit_step(plan: TransmitPlan, ts_padded,
                   frame_idx0) -> jnp.ndarray:
-    """Full chain: padded TS bytes -> (B, samples_per_frame) complex64."""
-    frame_bits = bb_and_fec(plan, ts_padded)
-    cells = map_cells(plan, frame_bits)
-    grids = build_frames(plan, cells, frame_idx0)
+    """Full chain: padded TS windows (one per PLP) -> (B, samples) c64."""
+    payloads = []
+    for pp, w in zip(plan.plps, _as_windows(plan, ts_padded)):
+        frame_bits = bb_and_fec(pp, w)
+        cells = map_cells(pp, frame_bits)
+        payloads.append(ti_payload(pp, cells, plan.batch_frames))
+    payload = (payloads[0] if len(payloads) == 1
+               else jnp.concatenate(payloads, axis=1))
+    grids = build_frames(plan, payload, frame_idx0)
     return modulate(plan, grids)
 
 
-def transmit_step_iq(plan: TransmitPlan, ts_padded: jnp.ndarray,
+def transmit_step_iq(plan: TransmitPlan, ts_padded,
                      frame_idx0) -> jnp.ndarray:
     """Like transmit_step but returns float32 (B, samples, 2) I/Q planes.
 
@@ -175,35 +207,70 @@ class Transmitter:
     """Streaming DVB-T2 transmitter: feed TS bytes, get baseband IQ.
 
     Holds the tiny cross-step state the reference carries in block members
-    (TS byte phase / CRC via the 187-byte carry window, and the T2 frame
-    counter; see SURVEY.md section 3.3).
+    (TS byte phase / CRC via the 187-byte carry window per PLP, and the T2
+    frame counter; see SURVEY.md section 3.3).
     """
 
     def __init__(self, cfg: T2Config, batch_frames: Optional[int] = None,
                  strict: bool = True):
         self.cfg = cfg
         self.plan = build_plan(cfg, batch_frames, strict=strict)
-        self._carry = np.zeros(187, dtype=np.uint8)
+        self._carries = [np.zeros(187, dtype=np.uint8)
+                         for _ in self.plan.plps]
         self._frame_idx = 0
-        _consts(self.plan)  # populate the device-constant cache eagerly
+        for pp in self.plan.plps:
+            _plp_consts(pp)
+        _consts(self.plan)
         self._step = jax.jit(functools.partial(transmit_step_iq, self.plan))
 
     @property
     def bytes_per_step(self) -> int:
+        """Fresh TS bytes per step (first PLP; see bytes_per_step_per_plp)."""
         return self.plan.ts_bytes_in
 
-    def step_device(self, ts_bytes: np.ndarray) -> jax.Array:
-        """One step; returns the float32 (B, samples, 2) I/Q device array."""
-        assert ts_bytes.shape == (self.plan.ts_bytes_in,)
-        padded = np.concatenate([self._carry, ts_bytes.astype(np.uint8)])
-        out = self._step(jnp.asarray(padded), jnp.int32(self._frame_idx))
-        self._carry = padded[-187:].copy()
+    @property
+    def bytes_per_step_per_plp(self) -> tuple:
+        return self.plan.ts_bytes_per_plp
+
+    def step_device(self, ts_bytes) -> jax.Array:
+        """One step; returns the float32 (B, samples, 2) I/Q device array.
+
+        ts_bytes: (bytes_per_step,) uint8 for single PLP, or a sequence of
+        per-PLP arrays matching bytes_per_step_per_plp.
+        """
+        streams = (list(ts_bytes) if isinstance(ts_bytes, (list, tuple))
+                   else [ts_bytes])
+        assert len(streams) == len(self.plan.plps)
+        padded = []
+        for i, (pp, ts) in enumerate(zip(self.plan.plps, streams)):
+            assert ts.shape == (pp.ts_bytes_in,), (ts.shape, pp.ts_bytes_in)
+            w = np.concatenate([self._carries[i], ts.astype(np.uint8)])
+            self._carries[i] = w[-187:].copy()
+            padded.append(jnp.asarray(w))
+        out = self._step(padded if len(padded) > 1 else padded[0],
+                         jnp.int32(self._frame_idx))
         self._frame_idx = (self._frame_idx
                            + self.plan.batch_frames) % self.cfg.t2_frames
         return out
 
-    def __call__(self, ts_bytes: np.ndarray) -> np.ndarray:
+    def __call__(self, ts_bytes) -> np.ndarray:
         """Process one step of fresh TS bytes; returns complex64
         (B, samples_per_frame) on the host."""
         iq = np.asarray(self.step_device(ts_bytes))
         return iq.reshape(iq.shape[0], -1).view(np.complex64)
+
+    def stream(self, ts_bytes) -> np.ndarray:
+        """Like __call__ but returns the flat emitted sample stream, with
+        FEF parts inserted after every fef_interval-th T2 frame (EN 302 755
+        section 8.4; no-op when the config has no FEF)."""
+        start = self._frame_idx  # global frame index before the step
+        frames = self(ts_bytes)
+        cfg = self.cfg
+        if not cfg.has_fef:
+            return frames.reshape(-1)
+        parts = []
+        for i in range(frames.shape[0]):
+            parts.append(frames[i])
+            if (start + i) % cfg.fef_interval == cfg.fef_interval - 1:
+                parts.append(self.plan.fef_part)
+        return np.concatenate(parts)

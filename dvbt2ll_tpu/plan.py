@@ -85,17 +85,18 @@ def interleaved_stream_to_seq(cfg: T2Config) -> np.ndarray:
 
 
 @dataclass
-class TransmitPlan:
-    """All constants for a jitted transmit step over a batch of T2 frames."""
+class PlpPlan:
+    """Per-PLP constants for the bit/cell/time-interleave stages.
 
-    cfg: T2Config
-    batch_frames: int                  # T2 frames per step
+    The TS->DF map is affine (each DF byte slot consumes one input byte,
+    the step starts at packet phase 0), so there are no per-frame gather
+    tables: DF bits are the fresh bits reshaped, packet bodies are a
+    strided view of the padded bits, and only the CRC scatter indices
+    (one per packet) are materialized.
+    """
 
-    # bit domain.  The TS->DF map is affine (each DF byte slot consumes one
-    # input byte, step starts at packet phase 0), so there are no per-frame
-    # gather tables: DF bits are the fresh bits reshaped, packet bodies are
-    # a strided view of the padded bits, and only the CRC scatter indices
-    # (one per packet) are materialized.
+    cfg: T2Config                      # effective per-PLP chain config
+    fec_frames: int                    # FEC frames per step for this PLP
     headers: np.ndarray = field(repr=False, default=None)        # (F, 80) u8
     n_packets: int = 0                                           # P
     crc_matrix: np.ndarray = field(repr=False, default=None)     # (1496, 8) i8
@@ -103,11 +104,26 @@ class TransmitPlan:
     scramble: np.ndarray = field(repr=False, default=None)       # (kbch,) u8
     bch_matrix: np.ndarray = field(repr=False, default=None)     # (kbch, npar) i8
     ldpc_gather: np.ndarray = field(repr=False, default=None)    # (plen, D) i32
-    # cell domain
     mapper_perm: np.ndarray = field(repr=False, default=None)    # (N,) i32
     qam: np.ndarray = field(repr=False, default=None)            # (2^mod,) c64
-    # frame domain
     ti_perm: np.ndarray = field(repr=False, default=None)        # (stream,) i32
+
+    @property
+    def ts_bytes_in(self) -> int:
+        """Fresh TS bytes consumed per step (excludes the 187-byte carry)."""
+        return self.fec_frames * self.cfg.df_bytes
+
+
+@dataclass
+class TransmitPlan:
+    """All constants for a jitted transmit step over a batch of T2 frames."""
+
+    cfg: T2Config
+    batch_frames: int                  # T2 frames per step
+
+    # per-PLP bit/cell/TI stages (one entry for a single-PLP config)
+    plps: list = field(repr=False, default=None)                 # [PlpPlan]
+    # frame domain
     l1pre: np.ndarray = field(repr=False, default=None)          # (1840,) c64
     l1post_all: np.ndarray = field(repr=False, default=None)     # (T, l1c) c64
     dummy: np.ndarray = field(repr=False, default=None)          # (dummy,) c64
@@ -116,15 +132,22 @@ class TransmitPlan:
     pilot_plane: np.ndarray = field(repr=False, default=None)    # (S, fft) f32
     eq: Optional[np.ndarray] = field(repr=False, default=None)   # (fft,) f32
     p1: np.ndarray = field(repr=False, default=None)             # (2048,) c64
+    fef_part: Optional[np.ndarray] = field(repr=False, default=None)  # c64
 
     @property
     def fec_frames(self) -> int:
-        return self.batch_frames * self.cfg.fec_blocks
+        """FEC frames per step of the first PLP (single-PLP convenience)."""
+        return self.batch_frames * self.cfg.plp_configs[0].fec_blocks
 
     @property
     def ts_bytes_in(self) -> int:
-        """Fresh TS bytes consumed per step (excludes the 187-byte carry)."""
-        return self.fec_frames * self.cfg.df_bytes
+        """Fresh TS bytes per step of the first PLP (single-PLP
+        convenience; multi-PLP callers use ts_bytes_per_plp)."""
+        return self.plps[0].ts_bytes_in
+
+    @property
+    def ts_bytes_per_plp(self) -> tuple:
+        return tuple(pp.ts_bytes_in for pp in self.plps)
 
     @property
     def samples_out(self) -> int:
@@ -132,10 +155,38 @@ class TransmitPlan:
 
 
 def min_batch_frames(cfg: T2Config) -> int:
-    """Smallest T2-frame batch with whole TS packets per step (phase 0)."""
-    per_frame = cfg.fec_blocks * cfg.df_bytes
-    g = np.gcd(per_frame, 188)
-    return int(188 // g)
+    """Smallest T2-frame batch with whole TS packets per step (phase 0)
+    for every PLP."""
+    b = 1
+    for c in cfg.plp_configs:
+        per_frame = c.fec_blocks * c.df_bytes
+        g = np.gcd(per_frame, 188)
+        b = int(np.lcm(b, 188 // g))
+    return b
+
+
+def _build_plp_plan(cfg_plp: T2Config, batch_frames: int,
+                    strict: bool) -> PlpPlan:
+    n_fec = batch_frames * cfg_plp.fec_blocks
+    pp = PlpPlan(cfg=cfg_plp, fec_frames=n_fec)
+    bb = BBFramePlan(cfg_plp, n_fec, strict=strict)
+    pp.headers = bb.headers
+    pp.n_packets = bb.n_packets
+    pp.crc_matrix = bb.crc_matrix.astype(np.int8)
+    # CRC bit b of packet p overwrites flat DF bit sync_slot*8 + b
+    pp.crc_scatter = (bb.sync_slots[:, None] * 8
+                      + np.arange(8)[None, :]).reshape(-1).astype(np.int32)
+    pp.scramble = bb.scramble
+    pp.bch_matrix = parity_matrix(
+        cfg_plp.kbch, cfg_plp.frame_size == FrameSize.SHORT,
+        cfg_plp.bch_t).astype(np.int8)
+    pp.ldpc_gather, _ = encoder_gather(
+        cfg_plp.frame_size, cfg_plp.code_rate, cfg_plp.ldpc_parity_bits,
+        cfg_plp.nbch, cfg_plp.q_ldpc)
+    pp.mapper_perm = bit_permutation(cfg_plp)
+    pp.qam = qam_lut(cfg_plp.constellation, bool(cfg_plp.rotation))
+    pp.ti_perm = cell_interleaver.interleaver_permutation(cfg_plp)
+    return pp
 
 
 def build_plan(cfg: T2Config, batch_frames: Optional[int] = None,
@@ -144,29 +195,12 @@ def build_plan(cfg: T2Config, batch_frames: Optional[int] = None,
     if batch_frames is None:
         batch_frames = min_batch_frames(cfg)
     plan = TransmitPlan(cfg=cfg, batch_frames=batch_frames)
-    n_fec = plan.fec_frames
 
-    # ---- bit domain -------------------------------------------------------
-    bb = BBFramePlan(cfg, n_fec, strict=strict)
-    plan.headers = bb.headers
-    plan.n_packets = bb.n_packets
-    plan.crc_matrix = bb.crc_matrix.astype(np.int8)
-    # CRC bit b of packet p overwrites flat DF bit sync_slot*8 + b
-    plan.crc_scatter = (bb.sync_slots[:, None] * 8
-                        + np.arange(8)[None, :]).reshape(-1).astype(np.int32)
-    plan.scramble = bb.scramble
-    plan.bch_matrix = parity_matrix(
-        cfg.kbch, cfg.frame_size == FrameSize.SHORT, cfg.bch_t).astype(np.int8)
-    plan.ldpc_gather, _ = encoder_gather(
-        cfg.frame_size, cfg.code_rate, cfg.ldpc_parity_bits, cfg.nbch,
-        cfg.q_ldpc)
-
-    # ---- cell domain ------------------------------------------------------
-    plan.mapper_perm = bit_permutation(cfg)
-    plan.qam = qam_lut(cfg.constellation, bool(cfg.rotation))
+    # ---- per-PLP bit/cell/TI stages --------------------------------------
+    plan.plps = [_build_plp_plan(c, batch_frames, strict)
+                 for c in cfg.plp_configs]
 
     # ---- frame domain -----------------------------------------------------
-    plan.ti_perm = cell_interleaver.interleaver_permutation(cfg)
     plan.l1pre = l1pre_cells(cfg)
     plan.l1post_all = l1post_cells_all_frames(cfg)
     dummy_bits = bb_scrambler(max(cfg.dummy_cells, 1))[: cfg.dummy_cells]
@@ -190,4 +224,7 @@ def build_plan(cfg: T2Config, batch_frames: Optional[int] = None,
         from .tables.pilots import inverse_sinc
         plan.eq = inverse_sinc(cfg)
     plan.p1 = p1_waveform(cfg)
+    if cfg.has_fef:
+        from .tables.pilots import fef_part_waveform
+        plan.fef_part = fef_part_waveform(cfg)
     return plan

@@ -126,11 +126,9 @@ def interleave_and_map(cfg: T2Config, frames: np.ndarray) -> np.ndarray:
 
 
 # ---------------------------------------------------------------- stage 3
-def frame_map(cfg: T2Config, stream_cells: np.ndarray,
-              frame_idx: int) -> np.ndarray:
-    """Cell/time interleave + L1 + frame assembly + frequency interleave
-    (reference framemapperfint general_work :1948-2151).
-    stream_cells: (stream_cells,) -> (mapped_cells,)."""
+def plp_interleave(cfg: T2Config, stream_cells: np.ndarray) -> np.ndarray:
+    """Cell interleaver + time interleaver for one PLP's cells of one T2
+    frame (reference framemapperfint general_work :1973-2028)."""
     cs = cfg.cell_size
     perm = cell_interleaver.base_permutation(
         cfg.frame_size, cfg.constellation, cs)
@@ -172,6 +170,19 @@ def frame_map(cfg: T2Config, stream_cells: np.ndarray,
             out_base += rows * cols
     else:
         cell_out = ti
+    return cell_out
+
+
+def frame_map(cfg: T2Config, stream_cells, frame_idx: int) -> np.ndarray:
+    """Interleave + L1 + frame assembly + frequency interleave (reference
+    framemapperfint general_work :1948-2151).  stream_cells: one
+    (stream_cells,) array, or a list with one array per PLP.
+    -> (mapped_cells,)."""
+    streams = (list(stream_cells) if isinstance(stream_cells, (list, tuple))
+               else [stream_cells])
+    assert len(streams) == cfg.num_plp
+    cell_out = np.concatenate([
+        plp_interleave(c, s) for c, s in zip(cfg.plp_configs, streams)])
 
     # frame assembly (N_P2 == 1 or zig-zag for N_P2 > 1)
     l1pre = l1pre_cells(cfg)
@@ -294,17 +305,24 @@ def ofdm_modulate(cfg: T2Config, mapped: np.ndarray) -> np.ndarray:
 
 
 # ---------------------------------------------------------------- end-to-end
-def transmit_chain(cfg: T2Config, ts: np.ndarray, n_t2_frames: int,
+def transmit_chain(cfg: T2Config, ts, n_t2_frames: int,
                    start_frame_idx: int = 0) -> np.ndarray:
-    """TS bytes -> baseband IQ for n_t2_frames T2 frames."""
-    n_fec = n_t2_frames * cfg.fec_blocks
-    frames, _ = bbheader_frames(cfg, ts, n_fec)
-    coded = ldpc_encode(cfg, frames)
-    cells = interleave_and_map(cfg, coded)
+    """TS bytes (one array, or one per PLP) -> baseband IQ for
+    n_t2_frames T2 frames (FEF parts not included; see transmit_stream)."""
+    streams = list(ts) if isinstance(ts, (list, tuple)) else [ts]
+    assert len(streams) == cfg.num_plp
+    per_plp_cells = []
+    for c, s in zip(cfg.plp_configs, streams):
+        n_fec = n_t2_frames * c.fec_blocks
+        frames, _ = bbheader_frames(c, s, n_fec)
+        coded = ldpc_encode(c, frames)
+        per_plp_cells.append(interleave_and_map(c, coded))
     out = np.empty(n_t2_frames * cfg.samples_per_frame, dtype=np.complex64)
     for t in range(n_t2_frames):
-        stream = cells[t * cfg.fec_blocks : (t + 1) * cfg.fec_blocks].reshape(-1)
-        mapped = frame_map(cfg, stream, start_frame_idx + t)
+        plp_streams = [
+            cells[t * c.fec_blocks : (t + 1) * c.fec_blocks].reshape(-1)
+            for c, cells in zip(cfg.plp_configs, per_plp_cells)]
+        mapped = frame_map(cfg, plp_streams, start_frame_idx + t)
         out[t * cfg.samples_per_frame : (t + 1) * cfg.samples_per_frame] = \
             ofdm_modulate(cfg, mapped)
     return out

@@ -17,7 +17,7 @@ from .bch import generator_poly
 from .constellations import l1_lut
 from .ldpc import l1_encoder_gather
 from .sequences import bb_scrambler
-from ..config import (KBCH_1_2, KBCH_1_4, KSIG_POST, L1Constellation,
+from ..config import (KBCH_1_2, KBCH_1_4, L1Constellation,
                       NBCH_1_2, NBCH_1_4, NBCH_PARITY, T2Config, Version)
 
 
@@ -72,7 +72,7 @@ def l1pre_fields(cfg: T2Config) -> List[Tuple[str, int, int]]:
         ("bwt_ext", int(cfg.carrier_mode), 1),
         ("s1", int(cfg.preamble), 3),
         ("s2", int(cfg.fft_size) & 0x7, 3),
-        ("s2_mixed", 0, 1),
+        ("s2_mixed", int(cfg.has_fef), 1),
         ("l1_repetition_flag", 0, 1),
         ("guard_interval", int(cfg.guard_interval), 3),
         ("papr", int(cfg.papr), 4),
@@ -80,7 +80,7 @@ def l1pre_fields(cfg: T2Config) -> List[Tuple[str, int, int]]:
         ("l1_cod", 0, 2),
         ("l1_fec_type", 0, 2),
         ("l1_post_size", cfg.n_post // cfg.eta_mod, 18),
-        ("l1_post_info_size", KSIG_POST - 32, 18),
+        ("l1_post_info_size", cfg.ksig_post - 32, 18),
         ("pilot_pattern", int(cfg.pilot_pattern), 4),
         ("tx_id_availability", 0, 8),
         ("cell_id", 0, 16),
@@ -136,42 +136,58 @@ def l1pre_cells(cfg: T2Config) -> np.ndarray:
 
 # ------------------------------------------------------------------ L1-post
 def l1post_fields(cfg: T2Config, frame_idx: int) -> List[Tuple[str, int, int]]:
-    """Configurable + dynamic L1-post fields (single PLP); reference
-    :152-250, :1553-1691."""
+    """Configurable + dynamic L1-post fields; reference :152-250,
+    :1553-1691 (single PLP).  Generalized to NUM_PLP type-1 data PLPs (per
+    EN 302 755 section 7.2.3: one 89-bit configurable and one 48-bit
+    dynamic loop entry per PLP) and to FEF signalling (34 bits after the
+    RF loop when S2 indicates mixed frames)."""
     v131 = cfg.version == Version.V131
     rsv = cfg.reserved_bias_bits and v131
-    plp_cod = {0: 0, 1: 1, 2: 2, 3: 3, 4: 4, 5: 5, 6: 6, 7: 7}[
-        int(cfg.code_rate)]
-    return [
+    plp_ids = ([p.plp_id for p in cfg.plps] if cfg.plps
+               else [0])
+    group_ids = ([p.plp_group_id for p in cfg.plps] if cfg.plps
+                 else [1])
+    fields = [
         ("sub_slices_per_frame", 1, 15),
-        ("num_plp", 1, 8),
+        ("num_plp", cfg.num_plp, 8),
         ("num_aux", 0, 4),
         ("aux_config_rfu", 0, 8),
         ("rf_idx", 0, 3),
         ("frequency", cfg.frequency, 32),
-        ("plp_id", 0, 8),
-        ("plp_type", 1, 3),
-        ("plp_payload_type", 3, 5),
-        ("ff_flag", 0, 1),
-        ("first_rf_idx", 0, 3),
-        ("first_frame_idx", 0, 8),
-        ("plp_group_id", 1, 8),
-        ("plp_cod", plp_cod, 3),
-        ("plp_mod", int(cfg.constellation), 3),
-        ("plp_rotation", int(cfg.rotation), 1),
-        ("plp_fec_type", int(cfg.frame_size), 2),
-        ("plp_num_blocks_max", cfg.fec_blocks, 10),
-        ("frame_interval", 1, 8),
-        ("time_il_length", cfg.ti_blocks, 8),
-        ("time_il_type", 0, 1),
-        ("in_band_a_flag", 0, 1),
-        ("in_band_b_flag", int(cfg.in_band and v131), 1),
-        ("reserved_1", 0x7FF if rsv else 0, 11),
-        ("plp_mode", 0 if cfg.version == Version.V111
-         else int(cfg.input_mode) + 1, 2),
-        ("static_flag", 0, 1),
-        ("static_padding_flag", 0, 1),
-        ("fef_length_msb", 0, 2),
+    ]
+    if cfg.has_fef:
+        fields += [
+            ("fef_type", cfg.fef_type, 4),
+            ("fef_length", cfg.fef_length & 0x3FFFFF, 22),
+            ("fef_interval", cfg.fef_interval, 8),
+        ]
+    for i, c in enumerate(cfg.plp_configs):
+        fields += [
+            ("plp_id", plp_ids[i], 8),
+            ("plp_type", 1, 3),
+            ("plp_payload_type", 3, 5),
+            ("ff_flag", 0, 1),
+            ("first_rf_idx", 0, 3),
+            ("first_frame_idx", 0, 8),
+            ("plp_group_id", group_ids[i], 8),
+            ("plp_cod", int(c.code_rate), 3),
+            ("plp_mod", int(c.constellation), 3),
+            ("plp_rotation", int(c.rotation), 1),
+            ("plp_fec_type", int(c.frame_size), 2),
+            ("plp_num_blocks_max", c.fec_blocks, 10),
+            ("frame_interval", 1, 8),
+            ("time_il_length", c.ti_blocks, 8),
+            ("time_il_type", 0, 1),
+            ("in_band_a_flag", 0, 1),
+            ("in_band_b_flag", int(cfg.in_band and v131), 1),
+            ("reserved_1", 0x7FF if rsv else 0, 11),
+            ("plp_mode", 0 if cfg.version == Version.V111
+             else int(cfg.input_mode) + 1, 2),
+            ("static_flag", 0, 1),
+            ("static_padding_flag", 0, 1),
+        ]
+    fields += [
+        ("fef_length_msb", cfg.fef_length >> 22 if v131 else 0, 2),
         ("reserved_2", 0x3FFFFFFF if rsv else 0, 30),
         ("frame_idx", frame_idx, 8),
         ("sub_slice_interval", 0, 22),
@@ -179,12 +195,18 @@ def l1post_fields(cfg: T2Config, frame_idx: int) -> List[Tuple[str, int, int]]:
         ("l1_change_counter", 0, 8),
         ("start_rf_idx", 0, 3),
         ("reserved_3", 0xFF if rsv else 0, 8),
-        ("plp_id_dynamic", 0, 8),
-        ("plp_start", 0, 22),
-        ("plp_num_blocks", cfg.fec_blocks, 10),
-        ("reserved_4", 0xFF if rsv else 0, 8),
+    ]
+    for i, c in enumerate(cfg.plp_configs):
+        fields += [
+            ("plp_id_dynamic", plp_ids[i], 8),
+            ("plp_start", cfg.plp_starts[i], 22),
+            ("plp_num_blocks", c.fec_blocks, 10),
+            ("reserved_4", 0xFF if rsv else 0, 8),
+        ]
+    fields += [
         ("reserved_5", 0xFF if rsv else 0, 8),
     ]
+    return fields
 
 
 def _padding_mask(cfg: T2Config, n_info_bits: int) -> np.ndarray:
@@ -236,8 +258,8 @@ def _l1post_bits(cfg: T2Config, frame_idx: int) -> np.ndarray:
     for _, value, width in l1post_fields(cfg, frame_idx):
         info.extend(_bits(value, width))
     info = np.array(info, dtype=np.uint8)
-    assert info.size == KSIG_POST - 32, info.size
-    info = np.concatenate([info, crc32_bits(info)])  # KSIG_POST bits
+    assert info.size == cfg.ksig_post - 32, info.size
+    info = np.concatenate([info, crc32_bits(info)])  # ksig_post bits
 
     if cfg.l1_scrambled and cfg.version == Version.V131:
         info = info ^ bb_scrambler(KBCH_1_2)[: info.size]

@@ -230,13 +230,16 @@ def build_planes(cfg: T2Config):
     return src_grid, pilot_grid, cells_per_symbol
 
 
-def p1_waveform(cfg: T2Config) -> np.ndarray:
+def p1_waveform(cfg: T2Config, s1: int = None, s2: int = None) -> np.ndarray:
     """The constant 2048-sample P1 preamble (C-A-B structure).
 
     reference lib/pilotgenp1insert_cc_impl.cc:1119-1178, 2801-2810.
+    The S2 "mixed" bit signals FEF parts in the super-frame.
     """
-    s1 = int(cfg.preamble)
-    s2 = (int(cfg.fft_size) & 0x7) << 1
+    if s1 is None:
+        s1 = int(cfg.preamble)
+    if s2 is None:
+        s2 = ((int(cfg.fft_size) & 0x7) << 1) | int(cfg.has_fef)
     s1_patterns = table("s1_modulation_patterns").astype(np.uint8)
     s2_patterns = table("s2_modulation_patterns").astype(np.uint8)
     mod_seq = np.concatenate([
@@ -286,3 +289,15 @@ def inverse_sinc(cfg: T2Config) -> np.ndarray:
     half = rms / sinc
     pre_shift = np.concatenate([half[::-1], half])
     return np.fft.ifftshift(pre_shift).astype(np.float32)
+
+
+def fef_part_waveform(cfg: T2Config) -> np.ndarray:
+    """(fef_length,) complex64 FEF part: its own P1 (S1 = non-T2, S2
+    signalling the FEF type with the mixed bit set) followed by null
+    samples.  The payload of a FEF part is outside EN 302 755's scope
+    (section 8.4); null filling keeps the super-frame timing contract."""
+    from ..config import Preamble
+    out = np.zeros(cfg.fef_length, dtype=np.complex64)
+    out[:2048] = p1_waveform(
+        cfg, s1=int(Preamble.NON_T2), s2=((cfg.fef_type & 0x7) << 1) | 1)
+    return out

@@ -26,7 +26,7 @@ def test_bb_and_fec_matches_oracle(vv009_plan):
     ts = synthetic_ts(plan.ts_bytes_in, seed=7)
     padded = np.concatenate([np.zeros(187, np.uint8), ts])
     fast = np.asarray(jax.jit(
-        lambda x: pipeline.bb_and_fec(plan, x))(jnp.asarray(padded)))
+        lambda x: pipeline.bb_and_fec(plan.plps[0], x))(jnp.asarray(padded)))
     frames, _ = refmodel.bbheader_frames(cfg, ts, plan.fec_frames)
     coded = refmodel.ldpc_encode(cfg, frames)
     assert (fast == coded).all()
@@ -55,7 +55,7 @@ def test_bbheader_stream_state_across_steps():
     from dvbt2ll_tpu.plan import min_batch_frames
     assert min_batch_frames(cfg) == 1
     plan = build_plan(cfg, 1)
-    step = jax.jit(lambda x: pipeline.bb_and_fec(plan, x))
+    step = jax.jit(lambda x: pipeline.bb_and_fec(plan.plps[0], x))
 
     n = plan.ts_bytes_in
     ts = synthetic_ts(3 * n, seed=8)
@@ -106,7 +106,8 @@ def test_build_frames_matches_oracle(vv009_plan):
     cells = (rng.standard_normal((cfg.fec_blocks, cfg.cell_size, 2))
              .astype(np.float32).view(np.complex64)[..., 0])
     grids = np.asarray(jax.jit(
-        lambda x: pipeline.build_frames(plan, x, jnp.int32(0)))(
+        lambda x: pipeline.build_frames(
+            plan, pipeline.ti_payload(plan.plps[0], x, 1), jnp.int32(0)))(
             jnp.asarray(cells)))[0]
     mapped = refmodel.frame_map(cfg, cells.reshape(-1), 0)
     # reconstruct the oracle's grid: symbol-major assembly with pilots
@@ -136,7 +137,8 @@ def test_frame_idx_wraps_l1post():
     rng = np.random.default_rng(12)
     cells = (rng.standard_normal((cfg.fec_blocks, cfg.cell_size, 2))
              .astype(np.float32).view(np.complex64)[..., 0])
-    f = jax.jit(lambda x, i: pipeline.build_frames(plan, x, i))
+    f = jax.jit(lambda x, i: pipeline.build_frames(
+        plan, pipeline.ti_payload(plan.plps[0], x, 1), i))
     g0 = np.asarray(f(jnp.asarray(cells), jnp.int32(0)))
     g1 = np.asarray(f(jnp.asarray(cells), jnp.int32(1)))
     g2 = np.asarray(f(jnp.asarray(cells), jnp.int32(cfg.t2_frames)))
