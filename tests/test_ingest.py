@@ -1,0 +1,92 @@
+"""Native C++ TS ingest runtime: framing, resync, stuffing, carry."""
+import os
+
+import numpy as np
+import pytest
+
+from dvbt2ll_tpu.io.ingest import TSIngest
+
+
+def _make_ts(n_packets, seed=0):
+    rng = np.random.default_rng(seed)
+    pkts = rng.integers(0, 256, (n_packets, 188), dtype=np.uint8)
+    pkts[:, 0] = 0x47
+    return pkts
+
+
+def _pipe_with(data: bytes):
+    r, w = os.pipe()
+    os.write(w, data)
+    os.close(w)
+    return r
+
+
+def test_clean_stream_window_and_carry():
+    pkts = _make_ts(20)
+    fd = _pipe_with(pkts.tobytes())
+    with TSIngest(fd=fd) as ing:
+        assert ing.pump() == 20
+        w = ing.window(188 * 10, allow_stuffing=False)
+        assert w is not None and w.size == 187 + 1880
+        assert (w[:187] == 0).all()                      # initial carry
+        assert (w[187:] == pkts[:10].reshape(-1)).all()
+        w2 = ing.window(188 * 10, allow_stuffing=False)
+        assert (w2[:187] == pkts[9].reshape(-1)[1:]).all()  # carry = tail
+        assert (w2[187:] == pkts[10:].reshape(-1)).all()
+        assert ing.stats["sync_errors"] == 0
+    os.close(fd)
+
+
+def test_resync_after_corruption():
+    pkts = _make_ts(10, seed=1)
+    raw = bytearray(pkts.tobytes())
+    garbage = bytes([0x00, 0x12, 0x34, 0x56, 0x99])
+    corrupted = bytes(raw[: 3 * 188]) + garbage + bytes(raw[3 * 188:])
+    fd = _pipe_with(corrupted)
+    with TSIngest(fd=fd) as ing:
+        ing.pump()
+        st = ing.stats
+        # garbage between packets is dropped, sync recovered
+        assert st["sync_errors"] >= 1
+        assert st["packets_in"] == 10
+        w = ing.window(188 * 10, allow_stuffing=False)
+        assert (w[187:] == pkts.reshape(-1)).all()
+    os.close(fd)
+
+
+def test_underrun_null_stuffing():
+    pkts = _make_ts(2, seed=2)
+    fd = _pipe_with(pkts.tobytes())
+    with TSIngest(fd=fd) as ing:
+        ing.pump()
+        assert ing.window(188 * 4, allow_stuffing=False) is None
+        w = ing.window(188 * 4, allow_stuffing=True)
+        assert (w[187 : 187 + 376] == pkts.reshape(-1)).all()
+        stuffed = w[187 + 376 :]
+        assert stuffed[0] == 0x47 and stuffed[1] == 0x1F and stuffed[2] == 0xFF
+        assert ing.stats["null_stuffed"] == 2
+    os.close(fd)
+
+
+def test_feeds_transmitter():
+    """Ingest window drives the jitted chain exactly like the python path."""
+    import jax.numpy as jnp
+
+    from dvbt2ll_tpu import vv009_config
+    from dvbt2ll_tpu.pipeline import Transmitter
+
+    cfg = vv009_config()
+    tx = Transmitter(cfg, 1, strict=False)
+    n = tx.bytes_per_step
+    n_pkts = -(-n // 188)
+    pkts = _make_ts(n_pkts, seed=3)
+    fd = _pipe_with(pkts.tobytes())
+    with TSIngest(fd=fd) as ing:
+        ing.pump(budget=1 << 22)
+        w = ing.window(n)           # carry + fresh, ready for the step
+    os.close(fd)
+    out_native = np.asarray(
+        tx._step(jnp.asarray(w), jnp.int32(0)))
+    out_python = tx(pkts.reshape(-1)[:n])
+    ref = out_python.view(np.float32).reshape(out_native.shape)
+    assert np.array_equal(out_native, ref)
