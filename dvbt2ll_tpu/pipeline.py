@@ -212,12 +212,16 @@ class Transmitter:
     """
 
     def __init__(self, cfg: T2Config, batch_frames: Optional[int] = None,
-                 strict: bool = True):
+                 strict: bool = True, validate_ts: bool = False):
+        from .observability import TxCounters
+
         self.cfg = cfg
         self.plan = build_plan(cfg, batch_frames, strict=strict)
         self._carries = [np.zeros(187, dtype=np.uint8)
                          for _ in self.plan.plps]
         self._frame_idx = 0
+        self._validate_ts = validate_ts
+        self.counters = TxCounters()
         for pp in self.plan.plps:
             _plp_consts(pp)
         _consts(self.plan)
@@ -238,19 +242,30 @@ class Transmitter:
         ts_bytes: (bytes_per_step,) uint8 for single PLP, or a sequence of
         per-PLP arrays matching bytes_per_step_per_plp.
         """
+        import time as _time
+
         streams = (list(ts_bytes) if isinstance(ts_bytes, (list, tuple))
                    else [ts_bytes])
         assert len(streams) == len(self.plan.plps)
+        t0 = _time.perf_counter()
         padded = []
+        nbytes = 0
         for i, (pp, ts) in enumerate(zip(self.plan.plps, streams)):
             assert ts.shape == (pp.ts_bytes_in,), (ts.shape, pp.ts_bytes_in)
+            if self._validate_ts:
+                from .observability import check_ts_sync
+                self.counters.sync_errors += check_ts_sync(ts)
             w = np.concatenate([self._carries[i], ts.astype(np.uint8)])
             self._carries[i] = w[-187:].copy()
             padded.append(jnp.asarray(w))
+            nbytes += ts.size
         out = self._step(padded if len(padded) > 1 else padded[0],
                          jnp.int32(self._frame_idx))
         self._frame_idx = (self._frame_idx
                            + self.plan.batch_frames) % self.cfg.t2_frames
+        self.counters.record_step(
+            self.plan.batch_frames, self.plan.samples_out, nbytes,
+            _time.perf_counter() - t0)
         return out
 
     def __call__(self, ts_bytes) -> np.ndarray:
@@ -258,6 +273,28 @@ class Transmitter:
         (B, samples_per_frame) on the host."""
         iq = np.asarray(self.step_device(ts_bytes))
         return iq.reshape(iq.shape[0], -1).view(np.complex64)
+
+    # ----------------------------------------------------- checkpoint/resume
+    def state_dict(self) -> dict:
+        """The complete cross-step state (SURVEY.md sections 3.3/5.4): the
+        187-byte carry window per PLP and the T2 frame counter."""
+        return {
+            "carries": np.stack(self._carries).copy(),
+            "frame_idx": self._frame_idx,
+        }
+
+    def load_state(self, state: dict) -> None:
+        carries = np.asarray(state["carries"], dtype=np.uint8)
+        assert carries.shape == (len(self.plan.plps), 187)
+        self._carries = [carries[i].copy() for i in range(carries.shape[0])]
+        self._frame_idx = int(state["frame_idx"]) % self.cfg.t2_frames
+
+    def save(self, path: str) -> None:
+        np.savez(path, **self.state_dict())
+
+    def restore(self, path: str) -> None:
+        with np.load(path) as z:
+            self.load_state({k: z[k] for k in z.files})
 
     def stream(self, ts_bytes) -> np.ndarray:
         """Like __call__ but returns the flat emitted sample stream, with

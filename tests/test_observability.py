@@ -1,0 +1,54 @@
+"""Counters, TS validation warnings, and checkpoint/resume."""
+import logging
+
+import numpy as np
+
+from dvbt2ll_tpu import vv009_config
+from dvbt2ll_tpu.io import synthetic_ts
+from dvbt2ll_tpu.observability import TxCounters, check_ts_sync
+from dvbt2ll_tpu.pipeline import Transmitter
+
+
+def test_counters_accumulate():
+    cfg = vv009_config()
+    tx = Transmitter(cfg, 1, strict=False)
+    ts = synthetic_ts(2 * tx.bytes_per_step, seed=71)
+    tx(ts[: tx.bytes_per_step])
+    tx(ts[tx.bytes_per_step :])
+    c = tx.counters
+    assert c.steps == 2
+    assert c.frames == 2
+    assert c.samples == 2 * cfg.samples_per_frame
+    assert c.ts_bytes == ts.size
+    assert c.samples_per_second > 0
+    assert c.realtime_margin(cfg.sample_rate) > 0
+
+
+def test_sync_check_warns(caplog):
+    ts = synthetic_ts(188 * 5, seed=72).copy()
+    assert check_ts_sync(ts) == 0
+    ts[188 * 2] = 0x00  # corrupt one sync byte
+    with caplog.at_level(logging.WARNING, logger="dvbt2ll_tpu"):
+        assert check_ts_sync(ts) == 1
+    assert "Malformed MPEG-TS" in caplog.text
+
+
+def test_checkpoint_resume_bit_identical(tmp_path):
+    cfg = vv009_config()
+    n = None
+    tx_a = Transmitter(cfg, 1, strict=False)
+    ts = synthetic_ts(4 * tx_a.bytes_per_step, seed=73)
+    n = tx_a.bytes_per_step
+    out_ref = [tx_a(ts[i * n : (i + 1) * n]) for i in range(4)]
+
+    tx_b = Transmitter(cfg, 1, strict=False)
+    tx_b(ts[:n])
+    tx_b(ts[n : 2 * n])
+    ckpt = tmp_path / "tx_state.npz"
+    tx_b.save(str(ckpt))
+
+    tx_c = Transmitter(cfg, 1, strict=False)
+    tx_c.restore(str(ckpt))
+    out_c = [tx_c(ts[2 * n : 3 * n]), tx_c(ts[3 * n :])]
+    assert np.array_equal(out_c[0], out_ref[2])
+    assert np.array_equal(out_c[1], out_ref[3])
