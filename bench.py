@@ -12,12 +12,17 @@ dev harness's network TPU tunnel, which would otherwise dominate the
 measurement.
 """
 import json
+import os
 import sys
 import time
 
 
 def main():
     import jax
+    # tunnel compiles cost minutes; cache them on disk across runs
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     import numpy as np
 

@@ -9,6 +9,7 @@ from a host-built :class:`~dvbt2ll_tpu.plan.TransmitPlan`.
 from __future__ import annotations
 
 import functools
+import math
 from typing import List, Optional, Sequence, Union
 
 import jax
@@ -103,21 +104,40 @@ def bb_and_fec(pp: PlpPlan, ts_padded: jnp.ndarray) -> jnp.ndarray:
 
 
 def map_cells(pp: PlpPlan, frame_bits: jnp.ndarray) -> jnp.ndarray:
-    """LDPC frames -> constellation cells (F, cell_size) c64."""
+    """LDPC frames -> constellation cells (F, cell_size) c64.
+
+    The gray-coded square QAM of EN 302 755 section 6.2 has the closed
+    form A = s0*(2^(h-1) + s1*(2^(h-2) + ... + s_(h-1))) per axis with
+    s_k = 1-2b_k (I from even cell-word bits, Q from odd), verified
+    against the reference's LUTs (lib/interleavermod_bc_impl.cc:169-253)
+    in tests.  Evaluating it elementwise keeps the mapping on the VPU -
+    a 2^mod-entry complex LUT gather is ~15x slower on TPU.
+    """
     cfg = pp.cfg
     c = _plp_consts(pp)
     mod = cfg.mod_bits
-    cell_bits = frame_bits[:, c["mapper_perm"]]
-    weights = jnp.asarray(1 << np.arange(mod - 1, -1, -1), jnp.int32)
-    words = jnp.matmul(
-        cell_bits.reshape(frame_bits.shape[0], cfg.cell_size, mod)
-        .astype(jnp.int32), weights)
-    qam = jnp.asarray(c["qam"])
-    cells = qam[words]
+    h = mod // 2
+    f = frame_bits.shape[0]
+    cell_bits = frame_bits[:, c["mapper_perm"]].reshape(f, cfg.cell_size, mod)
+    s = 1.0 - 2.0 * cell_bits.astype(jnp.float32)  # (F, CS, mod)
+
+    def axis_level(sv):  # sv: (F, CS, h), MSB first
+        a = sv[..., h - 1]
+        for k in range(h - 2, -1, -1):
+            a = sv[..., k] * (float(1 << (h - 1 - k)) + a)
+        return a
+
+    norm = float(np.sqrt({2: 2.0, 4: 10.0, 6: 42.0, 8: 170.0}[mod]))
+    i_level = axis_level(s[..., 0::2]) * (1.0 / norm)
+    q_level = axis_level(s[..., 1::2]) * (1.0 / norm)
     if cfg.rotation:
-        delayed = qam[jnp.roll(words, 1, axis=1)]
-        cells = jax.lax.complex(jnp.real(cells), jnp.imag(delayed))
-    return cells
+        ang = math.radians(cfg.rotation_angle_deg)
+        cos_t, sin_t = math.cos(ang), math.sin(ang)
+        i_rot = i_level * cos_t - q_level * sin_t
+        q_rot = i_level * sin_t + q_level * cos_t
+        # cyclic Q delay of one cell within the codeword
+        return jax.lax.complex(i_rot, jnp.roll(q_rot, 1, axis=1))
+    return jax.lax.complex(i_level, q_level)
 
 
 def ti_payload(pp: PlpPlan, cells: jnp.ndarray, batch: int) -> jnp.ndarray:
