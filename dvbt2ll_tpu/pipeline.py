@@ -40,6 +40,8 @@ def _plp_consts(pp: PlpPlan):
             "mapper_perm": np.asarray(pp.mapper_perm, np.int32),
             "qam": np.asarray(pp.qam, np.complex64),
             "ti_perm": np.asarray(pp.ti_perm, np.int32),
+            "inband": (None if pp.bb.inband_bits is None
+                       else np.asarray(pp.bb.inband_bits, np.uint8)),
         }
         pp._trace_consts = c
     return c
@@ -68,28 +70,54 @@ def _consts(plan: TransmitPlan):
 def bb_and_fec(pp: PlpPlan, ts_padded: jnp.ndarray) -> jnp.ndarray:
     """TS bytes (187 carry + fresh) -> LDPC frame bits (F, frame_bits) u8.
 
-    The TS->DF byte map is affine (one input byte per DF slot, packet phase
-    0 at the step start), so this is all reshapes and static slices - no
-    per-frame gather tables (which would grow O(batch) and dwarf the data).
+    The TS->DF byte map is affine (packet phase 0 at the step start), so
+    this is all reshapes and static slices - no per-frame gather tables
+    (which would grow O(batch) and dwarf the data).  NORMAL mode replaces
+    sync bytes with packet CRCs via one matmul + scatter; HIEFF mode drops
+    the sync column of the packet-major reshape; in-band frames lose 104
+    payload bits and append the static in-band field.
     """
     cfg = pp.cfg
+    bb = pp.bb
     c = _plp_consts(pp)
     f, p = pp.fec_frames, pp.n_packets
-    df_bits = cfg.kbch - 80
     bits = jnp.unpackbits(ts_padded)  # MSB-first
 
-    df = bits[187 * 8:].reshape(f, df_bits)
-    # packet body i = padded bytes [188*i, 188*i + 187): rows of a strided
-    # view, dropping each row's trailing sync/CRC slot byte
-    pkt = (bits[: p * 188 * 8].reshape(p, 188 * 8)[:, : 187 * 8]
-           .astype(jnp.int8))
-    crc = (jnp.matmul(pkt, c["crc_matrix"],
-                      preferred_element_type=jnp.int32) & 1).astype(jnp.uint8)
-    df = df.reshape(-1).at[c["crc_scatter"]].set(
-        crc.reshape(-1)).reshape(f, df_bits)
+    if bb.hieff:
+        # payload = fresh packets with the sync column removed
+        stream = (bits[187 * 8:].reshape(p, 188 * 8)[:, 8:].reshape(-1))
+    else:
+        stream = bits[187 * 8:]
+        # packet body i = padded bytes [188*i, 188*i + 187): rows of a
+        # strided view, dropping each row's trailing sync/CRC slot byte
+        pkt = (bits[: p * 188 * 8].reshape(p, 188 * 8)[:, : 187 * 8]
+               .astype(jnp.int8))
+        crc = (jnp.matmul(pkt, c["crc_matrix"],
+                          preferred_element_type=jnp.int32) & 1
+               ).astype(jnp.uint8)
+        stream = stream.at[c["crc_scatter"]].set(crc.reshape(-1))
 
-    kbch_bits = jnp.concatenate(
-        [c["headers"], df], axis=1) ^ c["scramble"][None, :]
+    if not bb.inband:
+        df = stream.reshape(f, cfg.kbch - 80)
+        kbch_bits = jnp.concatenate([c["headers"], df], axis=1)
+    else:
+        # first frame of each fec_blocks group: 13 fewer payload bytes,
+        # static 104-bit in-band field appended (reference :690-693)
+        k = cfg.fec_blocks
+        b = f // k
+        d_bits = cfg.kbch - 80
+        g_bits = k * d_bits - 104
+        groups = stream.reshape(b, g_bits)
+        hdrs = c["headers"].reshape(b, k, 80)
+        ib = jnp.tile(c["inband"][None, :], (b, 1))
+        kb0 = jnp.concatenate(
+            [hdrs[:, 0], groups[:, : d_bits - 104], ib], axis=1)
+        rest = groups[:, d_bits - 104:].reshape(b, k - 1, d_bits)
+        kbr = jnp.concatenate([hdrs[:, 1:], rest], axis=2)
+        kbch_bits = jnp.concatenate(
+            [kb0[:, None], kbr], axis=1).reshape(f, cfg.kbch)
+
+    kbch_bits = kbch_bits ^ c["scramble"][None, :]
 
     bch_par = (jnp.matmul(kbch_bits.astype(jnp.int8), c["bch_matrix"],
                           preferred_element_type=jnp.int32) & 1).astype(

@@ -97,6 +97,7 @@ class PlpPlan:
 
     cfg: T2Config                      # effective per-PLP chain config
     fec_frames: int                    # FEC frames per step for this PLP
+    bb: object = field(repr=False, default=None)                 # BBFramePlan
     headers: np.ndarray = field(repr=False, default=None)        # (F, 80) u8
     n_packets: int = 0                                           # P
     crc_matrix: np.ndarray = field(repr=False, default=None)     # (1496, 8) i8
@@ -111,7 +112,7 @@ class PlpPlan:
     @property
     def ts_bytes_in(self) -> int:
         """Fresh TS bytes consumed per step (excludes the 187-byte carry)."""
-        return self.fec_frames * self.cfg.df_bytes
+        return self.bb.ts_bytes_in
 
 
 @dataclass
@@ -157,11 +158,15 @@ class TransmitPlan:
 def min_batch_frames(cfg: T2Config) -> int:
     """Smallest T2-frame batch with whole TS packets per step (phase 0)
     for every PLP."""
+    from .config import InBand, InputMode
     b = 1
     for c in cfg.plp_configs:
-        per_frame = c.fec_blocks * c.df_bytes
-        g = np.gcd(per_frame, 188)
-        b = int(np.lcm(b, 188 // g))
+        per_t2 = c.fec_blocks * c.df_bytes
+        if c.in_band == InBand.ON:
+            per_t2 -= 13
+        align = 187 if c.input_mode == InputMode.HIEFF else 188
+        g = np.gcd(per_t2, align)
+        b = int(np.lcm(b, align // g))
     return b
 
 
@@ -170,6 +175,7 @@ def _build_plp_plan(cfg_plp: T2Config, batch_frames: int,
     n_fec = batch_frames * cfg_plp.fec_blocks
     pp = PlpPlan(cfg=cfg_plp, fec_frames=n_fec)
     bb = BBFramePlan(cfg_plp, n_fec, strict=strict)
+    pp.bb = bb
     pp.headers = bb.headers
     pp.n_packets = bb.n_packets
     pp.crc_matrix = bb.crc_matrix.astype(np.int8)

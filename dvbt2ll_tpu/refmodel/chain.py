@@ -23,33 +23,52 @@ def _byte_bits(b):
 def bbheader_frames(cfg: T2Config, ts: np.ndarray, n_frames: int,
                     state=None):
     """Mode adaptation + BB scrambling + BCH (reference general_work
-    :648-742, INPUTMODE_NORMAL path).  Returns (frames (n, nbch), state)."""
-    assert cfg.input_mode == InputMode.NORMAL
-    count, crc, pos = state if state is not None else (0, 0, 0)
+    :648-742: NORMAL byte loop with CRC-8 sync replacement, HIEFF loop
+    with sync removal, in-band type B on the fec_blocks cadence).
+    Returns (frames (n, nbch), state)."""
+    from ..tables.bbframe import inband_type_b_bits
+
+    count, crc, pos, fec_block = (state if state is not None
+                                  else (0, 0, 0, 0))
+    hieff = cfg.input_mode == InputMode.HIEFF
+    inband = bool(cfg.in_band)
     crc_tab = _crc8_byte_table()
     out = np.zeros((n_frames, cfg.nbch), dtype=np.uint8)
     for f in range(n_frames):
+        padding = 104 if (inband and fec_block == 0) else 0
         frame = np.zeros(cfg.nbch, dtype=np.uint8)
-        frame[:80] = header_bits(cfg, count, 0)
+        frame[:80] = header_bits(cfg, count, padding)
         offset = 80
-        for _ in range(cfg.df_bytes):
+        n_bytes = (cfg.kbch - 80 - padding) // 8
+        j = 0
+        while j < n_bytes:
             if count == 0:
                 assert ts[pos] == 0x47, "TS sync error"
                 pos += 1
+                if hieff:
+                    count = (count + 1) % 188
+                    continue  # sync byte removed, no output slot
                 b = crc
                 crc = 0
             else:
                 b = int(ts[pos])
                 pos += 1
-                crc = int(crc_tab[b ^ crc])
+                if not hieff:
+                    crc = int(crc_tab[b ^ crc])
             count = (count + 1) % 188
             frame[offset : offset + 8] = _byte_bits(b)
             offset += 8
+            j += 1
+        if padding:
+            frame[offset : offset + 104] = inband_type_b_bits(cfg.ts_rate)
+            offset += 104
+        if inband:
+            fec_block = (fec_block + 1) % cfg.fec_blocks
         frame[: cfg.kbch] ^= bb_scrambler()[: cfg.kbch]
         frame[cfg.kbch : cfg.nbch] = bch_encode_ref(
             frame[: cfg.kbch], cfg.frame_size == FrameSize.SHORT, cfg.bch_t)
         out[f] = frame
-    return out, (count, crc, pos)
+    return out, (count, crc, pos, fec_block)
 
 
 # ---------------------------------------------------------------- LDPC

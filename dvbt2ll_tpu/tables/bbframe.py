@@ -116,61 +116,75 @@ def inband_type_b_bits(ts_rate: int) -> np.ndarray:
 
 
 class BBFramePlan:
-    """Static index planes mapping a padded TS byte window to BB frame bits.
+    """Static structure mapping a padded TS byte window to BB frame bits.
 
-    For a step of ``n_frames`` FEC frames starting at TS phase 0:
-      * input:  ts bytes, shape (187 + n_frames*df_bytes,) uint8
-                (the first 187 bytes are carry-over context)
-      * frame bits f, position k  =  select(source_kind) gathered via
-        ``bit_src``/CRC scatter, XOR ``scramble``.
+    For a step of ``n_frames`` FEC frames starting at TS packet phase 0:
 
-    The fast path evaluates this as: unpack bits; gather data bits; compute
-    all packet CRCs with one mod-2 matmul; scatter CRC bits; XOR scrambler.
+      * NORMAL mode: each DF byte slot consumes one input byte; slots at
+        packet phase 0 carry the CRC-8 of the previous 187 bytes instead
+        of the 0x47 sync (reference :700-719).  The fast path computes
+        every packet CRC with one mod-2 matmul and scatters the bits into
+        the flat fresh-bit stream; the carry window provides the 187
+        bytes of left context.
+      * HIEFF mode: sync bytes are REMOVED (no CRC substitution,
+        reference :671-688): the payload stream is the fresh packets
+        reshaped (P, 188) with column 0 dropped.
+      * In-band type B: the first frame of every fec_blocks group loses
+        104 payload bits and appends the static in-band field before
+        scrambling (reference :663-665, :690-693, :720-723).
+
+    Everything stays affine - static slices and reshapes, no per-frame
+    gather tables.
     """
 
     def __init__(self, cfg: T2Config, n_frames: int, strict: bool = True):
-        if cfg.input_mode != InputMode.NORMAL:
-            raise NotImplementedError("HIEFF input mode not yet supported")
         self.cfg = cfg
         self.n_frames = n_frames
         nbytes = cfg.df_bytes
-        inband = cfg.in_band == InBand.ON
-        if inband:
-            # in-band frames have 104 bits less payload on the fec_blocks
-            # cadence; keep the stream phase math simple by requiring it off
-            # for now (reference example runs with INBAND_OFF too).
-            raise NotImplementedError("in-band type B not yet supported")
-        total_bytes = n_frames * nbytes
-        if strict and total_bytes % 188 != 0:
-            raise ValueError(
-                f"n_frames*df_bytes ({total_bytes}) must be a multiple of 188 "
-                f"for a phase-invariant plan; pick n_frames as a multiple of "
-                f"{188 // np.gcd(nbytes, 188)}")
+        self.hieff = cfg.input_mode == InputMode.HIEFF
+        self.inband = cfg.in_band == InBand.ON
+        k = cfg.fec_blocks
+        if self.inband and n_frames % k:
+            raise ValueError("in-band signalling needs whole T2-frame "
+                             "groups of fec_blocks FEC frames per step")
 
-        counts = np.arange(total_bytes) % 188
-        self.sync_slots = np.where(counts == 0)[0]  # global byte slots
-        # packet body for sync slot s: padded bytes [s .. s+186]
-        self.n_packets = len(self.sync_slots)
+        sizes = np.full(n_frames, nbytes, dtype=np.int64)
+        if self.inband:
+            sizes[::k] -= 13  # 104 bits of in-band field
+        self.frame_bytes = sizes
+        offsets = np.concatenate([[0], np.cumsum(sizes)])
+        total_payload = int(offsets[-1])
+        self.payload_bytes = total_payload
 
-        # per-frame header bits (static; depends on each frame's start phase)
+        if self.hieff:
+            if total_payload % 187:
+                raise ValueError(
+                    f"HIEFF steps must consume whole packets: payload "
+                    f"{total_payload} is not a multiple of 187")
+            self.n_packets = total_payload // 187
+            self.ts_bytes_in = total_payload + self.n_packets
+            self.sync_slots = np.zeros(0, dtype=np.int64)
+            # count (input-stream packet phase) at each frame start
+            p0 = offsets[:-1]
+            rem = p0 % 187
+            frame_counts = np.where(rem == 0, 0, rem + 1)
+        else:
+            self.ts_bytes_in = total_payload
+            if strict and total_payload % 188 != 0:
+                raise ValueError(
+                    f"step payload ({total_payload}) must be a multiple of "
+                    f"188 for a phase-invariant plan; raise batch_frames")
+            counts = np.arange(total_payload) % 188
+            self.sync_slots = np.where(counts == 0)[0]
+            self.n_packets = len(self.sync_slots)
+            frame_counts = offsets[:-1] % 188
+
         headers = np.empty((n_frames, 80), dtype=np.uint8)
         for f in range(n_frames):
-            count = (f * nbytes) % 188
-            headers[f] = header_bits(cfg, count, 0)
+            padding = 104 if (self.inband and f % k == 0) else 0
+            headers[f] = header_bits(cfg, int(frame_counts[f]), padding)
         self.headers = headers
-
-        # data-field source: frame f, byte j  <-  padded input byte
-        # 187 + f*nbytes + j ; bit b is MSB-first.
-        self.df_byte_src = (187 + np.arange(total_bytes)).reshape(
-            n_frames, nbytes).astype(np.int32)
-        # which DF slots must be overwritten with a packet CRC, and with
-        # which packet index
-        slot_frame = self.sync_slots // nbytes
-        slot_byte = self.sync_slots % nbytes
-        self.crc_slot_frame = slot_frame.astype(np.int32)
-        self.crc_slot_byte = slot_byte.astype(np.int32)
-        # packet body byte indices into the padded input
-        self.packet_body_src = (self.sync_slots[:, None]
-                                + np.arange(187)[None, :]).astype(np.int32)
+        self.inband_bits = (inband_type_b_bits(cfg.ts_rate)
+                            if self.inband else None)
         self.crc_matrix = packet_crc_matrix()
         self.scramble = bb_scrambler()[: cfg.kbch].copy()
