@@ -76,3 +76,37 @@ def test_vv009_with_inverse_sinc_equalization():
                         strict=False)
     ts = synthetic_ts(tx_eq.bytes_per_step, seed=41)
     assert not np.allclose(tx_eq(ts), tx_no(ts))
+
+
+@pytest.mark.parametrize("group", [0, 1])
+def test_miso_pilot_inversions(group):
+    """MISO TX1/TX2: P2/SP/CP pilot handling incl. TX2 inversions
+    (reference pilotgenp1insert :668-926 MISO branches)."""
+    from dvbt2ll_tpu.config import (L1Constellation, MisoGroup, Preamble)
+    cfg = T2Config(
+        frame_size=FrameSize.SHORT, code_rate=CodeRate.C1_2,
+        constellation=Constellation.QPSK, rotation=Rotation.OFF,
+        fft_size=FFTSize.FFT_2K, guard_interval=GuardInterval.GI_1_8,
+        pilot_pattern=PilotPattern.PP1, fec_blocks=1, ti_blocks=1,
+        t2_frames=2, num_data_symbols=8, preamble=Preamble.T2_MISO,
+        miso_group=MisoGroup(group),
+        l1_constellation=L1Constellation.BPSK).validate()
+    assert _snr_db(cfg, seed=91) > 100.0
+
+
+def test_miso_groups_differ():
+    from dvbt2ll_tpu.config import (L1Constellation, MisoGroup, Preamble)
+    import dataclasses
+    from dvbt2ll_tpu.io import synthetic_ts
+    base = T2Config(
+        frame_size=FrameSize.SHORT, code_rate=CodeRate.C1_2,
+        constellation=Constellation.QPSK, rotation=Rotation.OFF,
+        fft_size=FFTSize.FFT_2K, guard_interval=GuardInterval.GI_1_8,
+        pilot_pattern=PilotPattern.PP1, fec_blocks=1, ti_blocks=1,
+        t2_frames=2, num_data_symbols=8, preamble=Preamble.T2_MISO,
+        l1_constellation=L1Constellation.BPSK).validate()
+    tx1 = Transmitter(base, 1, strict=False)
+    tx2 = Transmitter(dataclasses.replace(
+        base, miso_group=MisoGroup.TX2), 1, strict=False)
+    ts = synthetic_ts(tx1.bytes_per_step, seed=92)
+    assert not np.allclose(tx1(ts), tx2(ts))
