@@ -124,10 +124,13 @@ def bb_and_fec(pp: PlpPlan, ts_padded: jnp.ndarray) -> jnp.ndarray:
                               jnp.uint8)
     nbch_bits = jnp.concatenate([kbch_bits, bch_par], axis=1)  # (F, nbch)
 
-    ext = jnp.concatenate(
-        [nbch_bits, jnp.zeros((nbch_bits.shape[0], 1), jnp.uint8)], axis=1)
-    acc = ext[:, c["ldpc_gather"]].astype(jnp.int32).sum(-1) & 1
-    ldpc_par = (jnp.cumsum(acc, axis=1) & 1).astype(jnp.uint8)
+    # LDPC parity: gather along the MAJOR axis (each lookup copies a whole
+    # contiguous F-vector; a (F, plen*D) minor-axis gather is element-serial
+    # on TPU), then the prefix-XOR chain as a cumsum over the major axis.
+    ext_t = jnp.concatenate(
+        [nbch_bits.T, jnp.zeros((1, nbch_bits.shape[0]), jnp.uint8)], axis=0)
+    acc_t = (ext_t[c["ldpc_gather"]].astype(jnp.int32).sum(1) & 1)  # (plen, F)
+    ldpc_par = (jnp.cumsum(acc_t, axis=0) & 1).astype(jnp.uint8).T
     return jnp.concatenate([nbch_bits, ldpc_par], axis=1)
 
 

@@ -1,0 +1,40 @@
+"""Streaming executor: overlap correctness and sink integration."""
+import numpy as np
+
+from dvbt2ll_tpu import vv009_config
+from dvbt2ll_tpu.executor import StreamingExecutor
+from dvbt2ll_tpu.io import synthetic_ts
+from dvbt2ll_tpu.pipeline import Transmitter
+
+
+class _ListSink:
+    def __init__(self):
+        self.chunks = []
+
+    def write(self, iq):
+        self.chunks.append(iq.copy())
+
+
+def test_executor_matches_sequential():
+    cfg = vv009_config()
+    n_steps = 3
+    tx_seq = Transmitter(cfg, 1, strict=False)
+    n = tx_seq.bytes_per_step
+    ts = synthetic_ts(n_steps * n, seed=101)
+    expected = np.concatenate(
+        [tx_seq(ts[i * n:(i + 1) * n]) for i in range(n_steps)])
+
+    tx = Transmitter(cfg, 1, strict=False)
+    pos = {"o": 0}
+
+    def source(nbytes):
+        o = pos["o"]
+        pos["o"] += nbytes
+        return ts[o : o + nbytes]
+
+    sink = _ListSink()
+    stats = StreamingExecutor(tx, source, sink).run(n_steps)
+    got = np.concatenate(sink.chunks)
+    assert np.array_equal(got, expected)
+    assert stats["steps"] == n_steps
+    assert stats["sustained_samples_per_second"] > 0
