@@ -151,8 +151,7 @@ def grids_symbol_sharded(plan: TransmitPlan, mesh: Mesh, axis: str = "frame"):
     is zero-padded to the shard count and each device IFFTs its contiguous
     slab (explicit shard_map: XLA's CPU fft thunk rejects the padded layouts
     GSPMD produces for non-divisible shardings).  Returns a jitted fn."""
-    from ..pipeline import (_as_windows, bb_and_fec, build_frames, map_cells,
-                            ti_payload)
+    from ..pipeline import (_as_windows, bb_and_fec, build_frames, map_cells)
 
     cfg = plan.cfg
     _consts(plan)
@@ -179,7 +178,8 @@ def grids_symbol_sharded(plan: TransmitPlan, mesh: Mesh, axis: str = "frame"):
         payloads = []
         for pp, w in zip(plan.plps, _as_windows(plan, ts_padded)):
             cells = map_cells(pp, bb_and_fec(pp, w))
-            payloads.append(ti_payload(pp, cells, plan.batch_frames))
+            payloads.append(cells.reshape(plan.batch_frames,
+                                          pp.cfg.stream_cells))
         payload = (payloads[0] if len(payloads) == 1
                    else jnp.concatenate(payloads, axis=1))
         grids = build_frames(plan, payload, frame_idx0)

@@ -221,6 +221,17 @@ def build_plan(cfg: T2Config, batch_frames: Optional[int] = None,
     assert cells_per_symbol.tolist() == expected, (
         cells_per_symbol.tolist(), expected)
     stream_to_seq = interleaved_stream_to_seq(cfg)
+    # Compose the per-PLP cell/time interleavers into the grid gather too:
+    # the payload region of seq then holds RAW mapper-output cells, so the
+    # jitted step never materializes the (B, stream) interleaved payload.
+    from .config import N_L1PRE_CELLS
+    pre_post = N_L1PRE_CELLS + cfg.l1post_cells
+    ti_full = np.concatenate(
+        [start + pp.ti_perm.astype(np.int64)
+         for start, pp in zip(cfg.plp_starts, plan.plps)])
+    pay = ((stream_to_seq >= pre_post)
+           & (stream_to_seq < pre_post + cfg.total_stream_cells))
+    stream_to_seq[pay] = pre_post + ti_full[stream_to_seq[pay] - pre_post]
     grid = src_grid.astype(np.int64)
     valid = grid >= 0
     grid[valid] = stream_to_seq[grid[valid]]

@@ -110,3 +110,59 @@ def test_miso_groups_differ():
         base, miso_group=MisoGroup.TX2), 1, strict=False)
     ts = synthetic_ts(tx1.bytes_per_step, seed=92)
     assert not np.allclose(tx1(ts), tx2(ts))
+
+
+def test_1k_fft_small():
+    """1K FFT coverage (smallest carrier structure, C_PS=853)."""
+    cfg = T2Config(
+        frame_size=FrameSize.SHORT, code_rate=CodeRate.C1_2,
+        constellation=Constellation.QPSK, rotation=Rotation.OFF,
+        fft_size=FFTSize.FFT_1K, guard_interval=GuardInterval.GI_1_8,
+        pilot_pattern=PilotPattern.PP1, fec_blocks=1, ti_blocks=1,
+        t2_frames=2, num_data_symbols=24).validate()
+    assert _snr_db(cfg, seed=51) > 100.0
+
+
+def test_papr_tr_reserved_tones():
+    """TR-PAPR reserved tones: P2-PAPR holes in P2 symbols and shifted TR
+    tones in data symbols (reference pilotgenp1insert :2739-2781), with
+    the C_DATA/N_FC/C_FC reductions of the PAPR tables."""
+    import dataclasses
+    from dvbt2ll_tpu.config import PAPR, vv009_config
+    cfg = dataclasses.replace(vv009_config(), papr=PAPR.TR,
+                              num_data_symbols=4).validate()
+    assert _snr_db(cfg, seed=52) > 100.0
+    # reserved tones change the carrier budget and therefore the waveform
+    base = vv009_config()
+    assert cfg.c_data < base.c_data
+
+
+@pytest.mark.parametrize("l1c", [1, 2, 3])
+def test_l1_constellations(l1c):
+    """L1-post mapped as QPSK/16QAM/64QAM incl. the L1 bit interleaver
+    (reference framemapperfint :1832-1909)."""
+    from dvbt2ll_tpu.config import L1Constellation
+    cfg = T2Config(
+        frame_size=FrameSize.SHORT, code_rate=CodeRate.C1_2,
+        constellation=Constellation.QPSK, rotation=Rotation.OFF,
+        fft_size=FFTSize.FFT_2K, guard_interval=GuardInterval.GI_1_8,
+        pilot_pattern=PilotPattern.PP1, fec_blocks=1, ti_blocks=1,
+        t2_frames=2, num_data_symbols=12,
+        l1_constellation=L1Constellation(l1c)).validate()
+    assert _snr_db(cfg, seed=53 + l1c) > 100.0
+
+
+def test_v131_l1post_scrambling():
+    """V1.3.1 L1-post scrambling (reference framemapperfint :1693-1697,
+    init_l1_randomizer :1928-1940) changes the L1 cells but stays
+    oracle-exact."""
+    import dataclasses
+    from dvbt2ll_tpu.config import Version, vv009_config
+    base = vv009_config()
+    cfg = dataclasses.replace(base, version=Version.V131,
+                              l1_scrambled=True).validate()
+    assert _snr_db(cfg, seed=57) > 100.0
+    tx_a = Transmitter(cfg, 1, strict=False)
+    tx_b = Transmitter(base, 1, strict=False)
+    ts = synthetic_ts(tx_a.bytes_per_step, seed=57)
+    assert not np.allclose(tx_a(ts), tx_b(ts))

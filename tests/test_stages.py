@@ -107,7 +107,7 @@ def test_build_frames_matches_oracle(vv009_plan):
              .astype(np.float32).view(np.complex64)[..., 0])
     grids = np.asarray(jax.jit(
         lambda x: pipeline.build_frames(
-            plan, pipeline.ti_payload(plan.plps[0], x, 1), jnp.int32(0)))(
+            plan, x.reshape(1, -1), jnp.int32(0)))(
             jnp.asarray(cells)))[0]
     mapped = refmodel.frame_map(cfg, cells.reshape(-1), 0)
     # reconstruct the oracle's grid: symbol-major assembly with pilots
@@ -138,7 +138,7 @@ def test_frame_idx_wraps_l1post():
     cells = (rng.standard_normal((cfg.fec_blocks, cfg.cell_size, 2))
              .astype(np.float32).view(np.complex64)[..., 0])
     f = jax.jit(lambda x, i: pipeline.build_frames(
-        plan, pipeline.ti_payload(plan.plps[0], x, 1), i))
+        plan, x.reshape(1, -1), i))
     g0 = np.asarray(f(jnp.asarray(cells), jnp.int32(0)))
     g1 = np.asarray(f(jnp.asarray(cells), jnp.int32(1)))
     g2 = np.asarray(f(jnp.asarray(cells), jnp.int32(cfg.t2_frames)))

@@ -1,0 +1,119 @@
+"""Micro-profile of the bb_and_fec sub-stages on the current device."""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp
+import numpy as np
+
+from dvbt2ll_tpu.config import vv009_config
+from dvbt2ll_tpu.io import synthetic_ts
+from dvbt2ll_tpu.pipeline import Transmitter, _plp_consts
+
+
+def fence(x):
+    return float(jnp.sum(jnp.ravel(x)[:16].astype(jnp.float32)))
+
+
+def bench(name, fn, *args, iters=30):
+    f = jax.jit(fn)
+    out = f(*args)
+    fence(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = f(*args)
+    fence(out)
+    dt = (time.perf_counter() - t0) / iters
+    print(f"{name:22s} {dt*1e3:8.2f} ms  out={getattr(out, 'shape', None)} "
+          f"{getattr(out, 'dtype', None)}", flush=True)
+    return out
+
+
+def main():
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    cfg = vv009_config()
+    tx = Transmitter(cfg, batch, strict=False)
+    pp = tx.plan.plps[0]
+    c = _plp_consts(pp)
+    n = tx.bytes_per_step
+    ts = np.concatenate([np.zeros(187, np.uint8), synthetic_ts(n)])
+    w = jax.device_put(jnp.asarray(ts))
+    f, p = pp.fec_frames, pp.n_packets
+    print(f"F={f} packets={p} nbch={cfg.nbch} plen={cfg.ldpc_parity_bits} "
+          f"D={c['ldpc_gather'].shape[1]}", flush=True)
+
+    bits = bench("unpackbits", lambda a: jnp.unpackbits(a), w)
+
+    def crc_part(bits):
+        stream = bits[187 * 8:]
+        pkt = (bits[: p * 188 * 8].reshape(p, 188 * 8)[:, : 187 * 8]
+               .astype(jnp.int8))
+        crc = (jnp.matmul(pkt, c["crc_matrix"],
+                          preferred_element_type=jnp.int32) & 1
+               ).astype(jnp.uint8)
+        return stream.at[c["crc_scatter"]].set(crc.reshape(-1))
+
+    stream = bench("crc+scatter", crc_part, bits)
+
+    def header_scramble(stream):
+        df = stream.reshape(f, cfg.kbch - 80)
+        kbch_bits = jnp.concatenate([c["headers"], df], axis=1)
+        return kbch_bits ^ c["scramble"][None, :]
+
+    kbch_bits = bench("header+scramble", header_scramble, stream)
+
+    def bch(kb):
+        par = (jnp.matmul(kb.astype(jnp.int8), c["bch_matrix"],
+                          preferred_element_type=jnp.int32) & 1).astype(
+                              jnp.uint8)
+        return jnp.concatenate([kb, par], axis=1)
+
+    nbch_bits = bench("bch matmul", bch, kbch_bits)
+
+    def ldpc_gather_sum(nb):
+        ext_t = jnp.concatenate(
+            [nb.T, jnp.zeros((1, nb.shape[0]), jnp.uint8)], axis=0)
+        return (ext_t[c["ldpc_gather"]].astype(jnp.int32).sum(1) & 1)
+
+    acc = bench("ldpc gather+sum", ldpc_gather_sum, nbch_bits)
+
+    bench("ldpc cumsum", lambda a: (jnp.cumsum(a, axis=0) & 1
+                                    ).astype(jnp.uint8).T, acc)
+
+    # --- candidate: uint8 accumulate (mod-256 preserves parity) ----------
+    def ldpc_u8(nb):
+        ext_t = jnp.concatenate(
+            [nb.T, jnp.zeros((1, nb.shape[0]), jnp.uint8)], axis=0)
+        acc = ext_t[c["ldpc_gather"]].sum(1, dtype=jnp.uint8)
+        return (jnp.cumsum(acc, axis=0, dtype=jnp.uint8) & 1).T
+
+    bench("ldpc u8 full", ldpc_u8, nbch_bits)
+
+    # --- candidate: packed-F XOR + associative scan ----------------------
+    def ldpc_packed(nb):
+        fb = nb.shape[0]
+        packed = jnp.packbits(nb.T, axis=-1)       # (nbch, F/8) u8
+        packed = jnp.concatenate(
+            [packed, jnp.zeros((1, fb // 8), jnp.uint8)], axis=0)
+        g = packed[c["ldpc_gather"]]               # (plen, D, F/8)
+        x = g[:, 0]
+        for k in range(1, g.shape[1]):
+            x = x ^ g[:, k]
+        x = jax.lax.associative_scan(jnp.bitwise_xor, x, axis=0)
+        return jnp.unpackbits(x, axis=-1).T        # (F, plen)
+
+    out_p = bench("ldpc packedF", ldpc_packed, nbch_bits)
+
+    ref = np.asarray(jax.jit(ldpc_u8)(nbch_bits))
+    got = np.asarray(out_p)
+    print("packedF correct:", np.array_equal(ref, got), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,76 @@
+"""Per-stage wall-clock profile of the vv009 chain on the current device.
+
+Times each pipeline stage as its own jitted program (checksum-fenced for
+the axon tunnel, where block_until_ready returns early) to rank hot spots.
+Usage: python tools/profile_stages.py [batch] [iters]
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp
+import numpy as np
+
+from dvbt2ll_tpu.config import vv009_config
+from dvbt2ll_tpu.io import synthetic_ts
+from dvbt2ll_tpu import pipeline as P
+from dvbt2ll_tpu.pipeline import Transmitter
+
+
+def fence(x):
+    return float(jnp.sum(jnp.abs(jnp.ravel(x)[:16].astype(jnp.complex64))))
+
+
+def bench(name, fn, *args, iters=20):
+    f = jax.jit(fn)
+    out = f(*args)
+    fence(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = f(*args)
+    fence(out)
+    dt = (time.perf_counter() - t0) / iters
+    print(f"{name:18s} {dt*1e3:8.2f} ms   out={getattr(out, 'shape', None)}")
+    return out, dt
+
+
+def main():
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    cfg = vv009_config()
+    tx = Transmitter(cfg, batch, strict=False)
+    pp = tx.plan.plps[0]
+    n = tx.bytes_per_step
+    ts = np.concatenate([np.zeros(187, np.uint8), synthetic_ts(n)])
+    w = jax.device_put(jnp.asarray(ts))
+    fi = jnp.int32(0)
+
+    bits, t1 = bench("bb_and_fec", lambda a: P.bb_and_fec(pp, a), w,
+                     iters=iters)
+    cells, t2 = bench("map_cells", lambda a: P.map_cells(pp, a), bits,
+                      iters=iters)
+    payload, t3 = bench("ti_payload",
+                        lambda a: P.ti_payload(pp, a, batch), cells,
+                        iters=iters)
+    grids, t4 = bench("build_frames",
+                      lambda a, i: P.build_frames(tx.plan, a, i), payload,
+                      fi, iters=iters)
+    out, t5 = bench("modulate", lambda a: P.modulate(tx.plan, a), grids,
+                    iters=iters)
+    _, tot = bench("FULL step", lambda a, i: P.transmit_step_iq(tx.plan, a, i),
+                   w, fi, iters=iters)
+    ssum = t1 + t2 + t3 + t4 + t5
+    print(f"{'sum-of-stages':18s} {ssum*1e3:8.2f} ms   "
+          f"(full={tot*1e3:.2f} ms, fusion gain={ssum/tot:.2f}x)")
+    rate = batch * cfg.samples_per_frame / tot
+    print(f"throughput {rate/1e6:.1f} Msamp/s")
+
+
+if __name__ == "__main__":
+    main()
