@@ -157,17 +157,23 @@ def map_cells(pp: PlpPlan, frame_bits: jnp.ndarray) -> jnp.ndarray:
     h = mod // 2
     f = frame_bits.shape[0]
     cell_bits = frame_bits[:, c["mapper_perm"]].reshape(f, cfg.cell_size, mod)
-    s = 1.0 - 2.0 * cell_bits.astype(jnp.float32)  # (F, CS, mod)
 
-    def axis_level(sv):  # sv: (F, CS, h), MSB first
-        a = sv[..., h - 1]
-        for k in range(h - 2, -1, -1):
-            a = sv[..., k] * (float(1 << (h - 1 - k)) + a)
-        return a
+    def axis_level(bv):  # bv: (F, CS, h) u8 bits, MSB first
+        # A = s0*(2^(h-1) + s1*(2^(h-2) + ...)) with s=1-2b expands to
+        # sum_k 2^(h-1-k) * prod_{j<=k} s_j, and a product of signs is the
+        # XOR of their bits: A = (2^h - 1) - 2*G with G the packed prefix
+        # XOR.  Integer u8 ops until one final float convert (the all-f32
+        # multiply chain is ~4x more VPU traffic).
+        acc = bv[..., 0]
+        g = acc
+        for k in range(1, h):
+            acc = acc ^ bv[..., k]
+            g = (g << 1) | acc
+        return float((1 << h) - 1) - 2.0 * g.astype(jnp.float32)
 
     norm = float(np.sqrt({2: 2.0, 4: 10.0, 6: 42.0, 8: 170.0}[mod]))
-    i_level = axis_level(s[..., 0::2]) * (1.0 / norm)
-    q_level = axis_level(s[..., 1::2]) * (1.0 / norm)
+    i_level = axis_level(cell_bits[..., 0::2]) * (1.0 / norm)
+    q_level = axis_level(cell_bits[..., 1::2]) * (1.0 / norm)
     if cfg.rotation:
         ang = math.radians(cfg.rotation_angle_deg)
         cos_t, sin_t = math.cos(ang), math.sin(ang)
