@@ -117,3 +117,58 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def crc_rowunpack_variant():
+    """Packet-aligned 2D unpack replacing the bit-scatter CRC substitution."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from dvbt2ll_tpu.config import vv009_config
+    from dvbt2ll_tpu.io import synthetic_ts
+    from dvbt2ll_tpu.pipeline import Transmitter, _plp_consts
+
+    batch = 256
+    cfg = vv009_config()
+    tx = Transmitter(cfg, batch, strict=False)
+    pp = tx.plan.plps[0]
+    c = _plp_consts(pp)
+    n = tx.bytes_per_step
+    ts = np.concatenate([np.zeros(187, np.uint8), synthetic_ts(n)])
+    w = jax.device_put(jnp.asarray(ts))
+    p = pp.n_packets
+
+    def current(wb):
+        nb = wb.shape[0]
+        rows = jnp.pad(wb, (0, (-nb) % 1024)).reshape(-1, 1024)
+        bits = jnp.unpackbits(rows, axis=1).reshape(-1)[: nb * 8]
+        stream = bits[187 * 8:]
+        pkt = (bits[: p * 188 * 8].reshape(p, 188 * 8)[:, : 187 * 8]
+               .astype(jnp.int8))
+        crc = (jnp.matmul(pkt, c["crc_matrix"],
+                          preferred_element_type=jnp.int32) & 1
+               ).astype(jnp.uint8)
+        return stream.at[c["crc_scatter"]].set(crc.reshape(-1))
+
+    def rowaligned(wb):
+        nb = wb.shape[0]
+        nfresh = nb - 187
+        padded = (wb[: p * 188] if nb >= p * 188
+                  else jnp.pad(wb, (0, p * 188 - nb)))
+        pkt_rows = jnp.unpackbits(padded.reshape(p, 188), axis=1)
+        pkt = pkt_rows[:, : 187 * 8].astype(jnp.int8)
+        crc = (jnp.matmul(pkt, c["crc_matrix"],
+                          preferred_element_type=jnp.int32) & 1
+               ).astype(jnp.uint8)
+        fresh_rows = jnp.unpackbits(
+            jnp.pad(wb[187:], (0, p * 188 - nfresh)).reshape(p, 188), axis=1)
+        out = jnp.concatenate([crc, fresh_rows[:, 8:]], axis=1)
+        return out.reshape(-1)[: nfresh * 8]
+
+    a = bench("unpack+crc current", current, w)
+    b = bench("unpack+crc rowaligned", rowaligned, w)
+    print("rowaligned equal:", bool(jnp.array_equal(a, b)), flush=True)
+
+
+if __name__ == "__main__" and "--crc" in sys.argv:
+    crc_rowunpack_variant()
