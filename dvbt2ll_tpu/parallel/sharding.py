@@ -85,14 +85,11 @@ class ShardedTransmitter:
         self.frame_shards = frame_shards
         self.mux_per_shard = n_mux // mux_shards
         self.frames_per_step = self.plan.batch_frames * frame_shards
-        self._carries = np.zeros((n_mux, 187), dtype=np.uint8)
+        n_plp = len(self.plan.plps)
+        self._carries = np.zeros((n_mux, n_plp, 187), dtype=np.uint8)
         self._step_no = 0
         # plan constants must live on the mesh's platform (the axon tunnel
         # registers a TPU default device even when the mesh is a CPU one)
-        if len(self.plan.plps) != 1:
-            raise NotImplementedError(
-                "ShardedTransmitter currently shards single-PLP chains; "
-                "multi-PLP muxes scale out over the mux axis")
         self._mesh_dev = np.asarray(mesh.devices).flat[0]
         with jax.default_device(self._mesh_dev):
             _consts(self.plan)
@@ -100,29 +97,45 @@ class ShardedTransmitter:
         plan = self.plan
         t2 = cfg.t2_frames
 
-        def shard_fn(windows, frame_idx0):
-            # windows: (mux_per_shard, n_frame_shards_local=1 slice, bytes)
-            # inside shard_map each device sees its local block
-            def one_mux(w, fi):
-                return transmit_step_iq(plan, w, fi)
-            return jax.vmap(one_mux)(windows[:, 0], frame_idx0[:, 0])[:, None]
+        def shard_fn(*args):
+            # per-PLP windows (mux_per_shard, 1 frame-shard slice, bytes_p)
+            # + frame_idx0; inside shard_map each device sees its local block
+            *windows, frame_idx0 = args
+
+            def one_mux(ws, fi):
+                return transmit_step_iq(
+                    plan, list(ws) if len(ws) > 1 else ws[0], fi)
+
+            locals_ = tuple(w[:, 0] for w in windows)
+            return jax.vmap(one_mux)(locals_, frame_idx0[:, 0])[:, None]
 
         shard_map = getattr(jax, "shard_map", None)
         if shard_map is None:  # pre-0.8 JAX
             from jax.experimental.shard_map import shard_map
         self._sharded = jax.jit(shard_map(
             shard_fn, mesh=mesh,
-            in_specs=(P("mux", "frame", None), P("mux", "frame")),
+            in_specs=tuple([P("mux", "frame", None)] * n_plp
+                           + [P("mux", "frame")]),
             out_specs=P("mux", "frame", None, None, None),
         ))
 
-    def step_device(self, ts_bytes: np.ndarray) -> jax.Array:
+    def step_device(self, ts_bytes) -> jax.Array:
         """ts_bytes: (n_mux, frames_per_step * df_bytes * fec_blocks) fresh
-        bytes per mux.  Returns float32
-        (n_mux, frame_shards, B_local, samples, 2) device array."""
+        bytes per mux for a single-PLP chain, or a sequence of such arrays
+        (one per PLP, sized n_mux x bytes_per_step_per_mux_per_plp[i]).
+        Returns float32 (n_mux, frame_shards, B_local, samples, 2)."""
         cfg = self.cfg
-        windows = halo_windows(ts_bytes, self._carries, self.frame_shards)
-        self._carries = ts_bytes[:, -187:].copy()
+        streams = (list(ts_bytes) if isinstance(ts_bytes, (list, tuple))
+                   else [ts_bytes])
+        assert len(streams) == len(self.plan.plps)
+        windows = []
+        for i, (pp, s) in enumerate(zip(self.plan.plps, streams)):
+            s = np.asarray(s, dtype=np.uint8)
+            assert s.shape == (self.n_mux,
+                               pp.ts_bytes_in * self.frame_shards), s.shape
+            windows.append(jnp.asarray(
+                halo_windows(s, self._carries[:, i], self.frame_shards)))
+            self._carries[:, i] = s[:, -187:]
         # T2 frame index of the first frame of each shard
         base = self._step_no * self.frames_per_step
         fidx = (base + np.arange(self.frame_shards) * self.plan.batch_frames
@@ -130,8 +143,7 @@ class ShardedTransmitter:
         fidx = np.broadcast_to(fidx[None], (self.n_mux, self.frame_shards))
         self._step_no += 1
         with jax.default_device(self._mesh_dev):
-            return self._sharded(jnp.asarray(windows),
-                                 jnp.asarray(fidx, jnp.int32))
+            return self._sharded(*windows, jnp.asarray(fidx, jnp.int32))
 
     def __call__(self, ts_bytes: np.ndarray) -> np.ndarray:
         """Returns complex64 (n_mux, frames_per_step, samples_per_frame)."""
@@ -142,6 +154,11 @@ class ShardedTransmitter:
     @property
     def bytes_per_step_per_mux(self) -> int:
         return self.plan.ts_bytes_in * self.frame_shards
+
+    @property
+    def bytes_per_step_per_mux_per_plp(self) -> tuple:
+        return tuple(pp.ts_bytes_in * self.frame_shards
+                     for pp in self.plan.plps)
 
 
 def grids_symbol_sharded(plan: TransmitPlan, mesh: Mesh, axis: str = "frame"):

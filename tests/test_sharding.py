@@ -72,3 +72,25 @@ def test_symbol_sharded_modulate_matches():
     tx = Transmitter(cfg, 1, strict=False)
     ref = np.asarray(tx.step_device(ts))
     assert np.array_equal(sharded, ref)
+
+
+def test_multi_plp_sharded_equals_sequential():
+    """Frame-sharding a multi-PLP mux: per-PLP halo windows, bit-identical
+    to the sequential multi-PLP chain."""
+    from tests.test_multiplp_fef import _mixed_plp_cfg
+    cfg = _mixed_plp_cfg()
+    mesh = make_mesh(jax.devices("cpu")[:4], mux=1)
+    stx = ShardedTransmitter(cfg, mesh, n_mux=1, frames_per_shard=1,
+                             strict=False)
+    nb = stx.bytes_per_step_per_mux_per_plp
+    ts = [synthetic_ts(nb[0], seed=26)[None], synthetic_ts(nb[1], seed=27)[None]]
+    sharded = stx(ts)[0]                       # (4 frames, samples)
+
+    tx = Transmitter(cfg, 1, strict=False)
+    per = tx.bytes_per_step_per_plp
+    outs = []
+    for i in range(4):
+        step = [ts[p][0, i * per[p]:(i + 1) * per[p]] for p in range(2)]
+        outs.append(tx(step))
+    seq = np.concatenate(outs, axis=0)
+    assert np.array_equal(sharded, seq)
