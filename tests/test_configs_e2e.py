@@ -166,3 +166,21 @@ def test_v131_l1post_scrambling():
     tx_b = Transmitter(base, 1, strict=False)
     ts = synthetic_ts(tx_a.bytes_per_step, seed=57)
     assert not np.allclose(tx_a(ts), tx_b(ts))
+
+
+@pytest.mark.parametrize("fft,gi,pp", [
+    (FFTSize.FFT_8K_T2GI, GuardInterval.GI_19_128, PilotPattern.PP8),
+    (FFTSize.FFT_32K_T2GI, GuardInterval.GI_19_256, PilotPattern.PP8),
+    (FFTSize.FFT_32K_T2GI, GuardInterval.GI_1_128, PilotPattern.PP7),
+])
+def test_t2gi_long_guard_intervals(fft, gi, pp):
+    """The T2-only guard intervals (1/128, 19/128, 19/256) on the _T2GI FFT
+    size codes, incl. PP8 (no frame-closing symbol in these combos:
+    reference framemapperfint :898-915)."""
+    cfg = T2Config(
+        frame_size=FrameSize.SHORT, code_rate=CodeRate.C2_3,
+        constellation=Constellation.QAM64, rotation=Rotation.OFF,
+        fft_size=fft, guard_interval=gi, pilot_pattern=pp,
+        fec_blocks=2, ti_blocks=1, t2_frames=2,
+        num_data_symbols=4).validate()
+    assert _snr_db(cfg, seed=61 + int(fft)) > 100.0
