@@ -215,18 +215,18 @@ def build_frames(plan: TransmitPlan, payload: jnp.ndarray,
 
     idx = (frame_idx0 + jnp.arange(b)) % cfg.t2_frames
     l1post = jnp.asarray(c["l1post_all"])[idx]  # (B, l1cells)
+    # one trailing zero cell absorbs every pilot/null position: the gather
+    # needs no mask pass (grid_src == -1 indexes the sentinel)
     seq = jnp.concatenate([
         jnp.tile(c["l1pre"][None, :], (b, 1)),
         l1post,
         payload,
         jnp.tile(c["dummy"][None, :], (b, 1)),
-        jnp.zeros((b, cfg.n_fc - cfg.c_fc), jnp.complex64),
+        jnp.zeros((b, cfg.n_fc - cfg.c_fc + 1), jnp.complex64),
     ], axis=1)
 
     src = c["grid_src"]
-    data = jnp.where(src[None] >= 0,
-                     seq[:, jnp.clip(src, 0)],
-                     jnp.zeros((), jnp.complex64))
+    data = seq[:, jnp.where(src >= 0, src, seq.shape[1] - 1)]
     return data + c["pilot_plane"].astype(jnp.complex64)
 
 

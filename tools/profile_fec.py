@@ -117,3 +117,49 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def ldpc_i32_variant():
+    """XOR-fold on int32-bitcast words + associative prefix-XOR scan."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from dvbt2ll_tpu.config import vv009_config
+    from dvbt2ll_tpu.pipeline import Transmitter, _plp_consts
+
+    batch = 256
+    cfg = vv009_config()
+    tx = Transmitter(cfg, batch, strict=False)
+    pp = tx.plan.plps[0]
+    c = _plp_consts(pp)
+    f = pp.fec_frames
+    rng = np.random.default_rng(0)
+    nbch_bits = jnp.asarray(rng.integers(0, 2, (f, cfg.nbch), dtype=np.uint8))
+
+    def current(nb):
+        ext_t = jnp.concatenate(
+            [nb.T, jnp.zeros((1, nb.shape[0]), jnp.uint8)], axis=0)
+        acc_t = ext_t[c["ldpc_gather"]].sum(1, dtype=jnp.uint8)
+        return (jnp.cumsum(acc_t, axis=0, dtype=jnp.uint8) & 1).T
+
+    def i32_fold(nb):
+        fr = nb.shape[0]
+        ext_t = jnp.concatenate(
+            [nb.T, jnp.zeros((1, fr), jnp.uint8)], axis=0)
+        ext32 = jax.lax.bitcast_convert_type(
+            ext_t.reshape(-1, fr // 4, 4), jnp.int32)   # (nbch+1, F/4)
+        g = ext32[c["ldpc_gather"]]                      # (plen, D, F/4)
+        x = g[:, 0]
+        for k in range(1, g.shape[1]):
+            x = x ^ g[:, k]
+        x = jax.lax.associative_scan(jnp.bitwise_xor, x, axis=0)
+        out = jax.lax.bitcast_convert_type(x, jnp.uint8)  # (plen, F/4, 4)
+        return (out.reshape(x.shape[0], fr) & 1).T
+
+    a = bench("ldpc u8 gather+cumsum", current, nbch_bits)
+    b = bench("ldpc i32 xor+scan", i32_fold, nbch_bits)
+    print("i32 equal:", bool(jnp.array_equal(a, b)), flush=True)
+
+
+if __name__ == "__main__" and "--i32" in sys.argv:
+    ldpc_i32_variant()
