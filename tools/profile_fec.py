@@ -163,3 +163,73 @@ def ldpc_i32_variant():
 
 if __name__ == "__main__" and "--i32" in sys.argv:
     ldpc_i32_variant()
+
+
+def ldpc_qc_roll_variant():
+    """QC-structured formulation: parity address (a + n*q) mod 360q means
+    table entry (r, a) XORs roll(group_r, a//q) into column a%q of the
+    (360, q) accumulator - no gather; then the prefix-XOR chain factors
+    into an in-row cumulative XOR + an exclusive row scan."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from dvbt2ll_tpu.config import vv009_config
+    from dvbt2ll_tpu.pipeline import Transmitter, _plp_consts
+    from dvbt2ll_tpu.tables import table
+    from dvbt2ll_tpu.tables.ldpc import _TABLES
+
+    batch = 256
+    cfg = vv009_config()
+    tx = Transmitter(cfg, batch, strict=False)
+    pp = tx.plan.plps[0]
+    c = _plp_consts(pp)
+    f = pp.fec_frames
+    q, plen = cfg.q_ldpc, cfg.ldpc_parity_bits
+    rows = cfg.nbch // 360
+    rng = np.random.default_rng(0)
+    nbch_bits = jnp.asarray(rng.integers(0, 2, (f, cfg.nbch), dtype=np.uint8))
+
+    tab = table(_TABLES[(cfg.frame_size, cfg.code_rate)])
+    by_col = [[] for _ in range(q)]
+    n_entries = 0
+    for r in range(tab.shape[0]):
+        for a in tab[r, 1 : 1 + int(tab[r, 0])]:
+            by_col[int(a) % q].append((r, int(a) // q))
+            n_entries += 1
+    print(f"qc entries={n_entries} rows={rows} q={q}", flush=True)
+
+    def current(nb):
+        ext_t = jnp.concatenate(
+            [nb.T, jnp.zeros((1, nb.shape[0]), jnp.uint8)], axis=0)
+        acc_t = ext_t[c["ldpc_gather"]].sum(1, dtype=jnp.uint8)
+        return (jnp.cumsum(acc_t, axis=0, dtype=jnp.uint8) & 1).T
+
+    def qc_roll(nb):
+        g = nb.reshape(nb.shape[0], rows, 360)
+        cols = []
+        for cc in range(q):
+            acc = None
+            for (r, s) in by_col[cc]:
+                t = jnp.roll(g[:, r], s, axis=1)
+                acc = t if acc is None else acc ^ t
+            cols.append(acc if acc is not None
+                        else jnp.zeros((nb.shape[0], 360), jnp.uint8))
+        acc = jnp.stack(cols, axis=2)          # (F, 360, q)
+        run = acc[:, :, 0]
+        incl = [run]
+        for cc in range(1, q):
+            run = run ^ acc[:, :, cc]
+            incl.append(run)
+        incl = jnp.stack(incl, axis=2)          # in-row inclusive prefix
+        row_inc = jax.lax.associative_scan(jnp.bitwise_xor, run, axis=1)
+        row_excl = jnp.concatenate(
+            [jnp.zeros((nb.shape[0], 1), jnp.uint8), row_inc[:, :-1]], axis=1)
+        return (incl ^ row_excl[:, :, None]).reshape(nb.shape[0], plen)
+
+    a = bench("ldpc u8 gather+cumsum", current, nbch_bits)
+    b = bench("ldpc qc-roll", qc_roll, nbch_bits)
+    print("qc equal:", bool(jnp.array_equal(a, b)), flush=True)
+
+
+if __name__ == "__main__" and "--qc" in sys.argv:
+    ldpc_qc_roll_variant()
