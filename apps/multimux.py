@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Pod-scale multi-mux demo (BASELINE.json config 5): N independent DVB-T2
+channels sharded over a device mesh, each sustaining its bandwidth profile's
+real-time rate.
+
+On this dev box there is one real TPU chip, so the default run places the
+(mux, frame) mesh on 8 virtual CPU devices to demonstrate the sharding
+(`--virtual 8`); on a pod slice the same code spans real chips, and
+multi-host scale-out is the same `make_mesh(jax.devices(), ...)` over a
+`jax.distributed` process group.
+
+    python apps/multimux.py --mux 4 --virtual 8 --steps 3
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--mux", type=int, default=4,
+                    help="independent DVB-T2 channels")
+    ap.add_argument("--virtual", type=int, default=0,
+                    help="force N virtual CPU devices (0 = real devices)")
+    ap.add_argument("--frames-per-shard", type=int, default=2)
+    ap.add_argument("--steps", type=int, default=3)
+    args = ap.parse_args()
+
+    if args.virtual:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.virtual}")
+
+    import jax
+    import numpy as np
+
+    from dvbt2ll_tpu.config import vv009_config
+    from dvbt2ll_tpu.io import synthetic_ts
+    from dvbt2ll_tpu.parallel import ShardedTransmitter, make_mesh
+
+    devices = (jax.devices("cpu")[: args.virtual] if args.virtual
+               else jax.devices())
+    if args.mux % max(1, len(devices)) and len(devices) % args.mux:
+        raise SystemExit("--mux must divide or be divisible by device count")
+    mux_axis = min(args.mux, len(devices))
+    mesh = make_mesh(devices, mux=mux_axis)
+    cfg = vv009_config()
+    stx = ShardedTransmitter(cfg, mesh, n_mux=args.mux,
+                             frames_per_shard=args.frames_per_shard,
+                             strict=False)
+    nbytes = stx.bytes_per_step_per_mux
+    print(f"mesh={dict(mesh.shape)} muxes={args.mux} "
+          f"frames/step={stx.frames_per_step} ts_bytes/mux/step={nbytes}")
+
+    rng = np.random.default_rng(0)
+    # warm-up step: XLA compile happens here, outside the timed loop
+    warm = np.stack([synthetic_ts(nbytes, seed=rng.integers(1 << 30))
+                     for _ in range(args.mux)])
+    stx.step_device(warm).block_until_ready()
+
+    t0 = time.perf_counter()
+    total_samples = 0
+    for s in range(args.steps):
+        ts = np.stack([synthetic_ts(nbytes, seed=rng.integers(1 << 30))
+                       for _ in range(args.mux)])
+        out = stx.step_device(ts)
+        out.block_until_ready()
+        total_samples += args.mux * stx.frames_per_step * cfg.samples_per_frame
+    dt = time.perf_counter() - t0
+    rt = cfg.sample_rate  # per-channel real-time sample rate
+    print(f"{total_samples/1e6:.1f} Msamples in {dt:.2f}s = "
+          f"{total_samples/dt/1e6:.1f} Msamp/s aggregate "
+          f"({total_samples/dt/(rt*args.mux):.1f}x real time x {args.mux} muxes)")
+
+
+if __name__ == "__main__":
+    main()
