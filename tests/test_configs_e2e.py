@@ -184,3 +184,23 @@ def test_t2gi_long_guard_intervals(fft, gi, pp):
         fec_blocks=2, ti_blocks=1, t2_frames=2,
         num_data_symbols=4).validate()
     assert _snr_db(cfg, seed=61 + int(fft)) > 100.0
+
+
+@pytest.mark.parametrize("pre", [3, 4])
+def test_t2_lite_preambles(pre):
+    """T2-Lite SISO/MISO: P1 S1 field and pattern change with the preamble
+    (reference pilotgenp1insert :54-56, s1 = preamble), L1-pre TYPE follows."""
+    import dataclasses
+    from dvbt2ll_tpu.config import MisoGroup, Preamble, vv009_config
+    base = vv009_config()
+    cfg = dataclasses.replace(
+        base, preamble=Preamble(pre), miso_group=MisoGroup.TX1,
+        # MISO halves the P2 cell budget; add a data symbol to fit
+        num_data_symbols=4 if pre == 4 else base.num_data_symbols).validate()
+    assert _snr_db(cfg, seed=71 + pre) > 100.0
+    # the P1 of a T2-Lite frame must differ from the plain T2 one
+    tx_lite = Transmitter(cfg, 1, strict=False)
+    tx_t2 = Transmitter(base, 1, strict=False)
+    ts = synthetic_ts(tx_lite.bytes_per_step, seed=71)
+    a, b = tx_lite(ts), tx_t2(ts)
+    assert not np.allclose(a[:, :2048], b[:, :2048])

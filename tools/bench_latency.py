@@ -1,0 +1,66 @@
+"""Single-T2-frame latency benchmark (BASELINE metric: T2-frame latency).
+
+Measures the device time to produce ONE T2 frame (batch_frames=1) for the
+BASELINE configs, against each config's real-time frame duration.
+Usage: python tools/bench_latency.py
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from dvbt2ll_tpu.config import (CarrierMode, CodeRate, Constellation,
+                                    FFTSize, FrameSize, GuardInterval,
+                                    PilotPattern, Rotation, T2Config,
+                                    vv009_config)
+    from dvbt2ll_tpu.io import synthetic_ts
+    from dvbt2ll_tpu.pipeline import Transmitter
+
+    configs = {
+        "vv009_4kshort": vv009_config(),
+        "8k_normal_64qam_pp3": T2Config(
+            frame_size=FrameSize.NORMAL, code_rate=CodeRate.C2_3,
+            constellation=Constellation.QAM64, rotation=Rotation.OFF,
+            fft_size=FFTSize.FFT_8K, guard_interval=GuardInterval.GI_1_16,
+            pilot_pattern=PilotPattern.PP3, fec_blocks=2, ti_blocks=1,
+            t2_frames=2, num_data_symbols=8).validate(),
+        "32k_ext_256qam_pp7": T2Config(
+            frame_size=FrameSize.NORMAL, code_rate=CodeRate.C4_5,
+            constellation=Constellation.QAM256, rotation=Rotation.ON,
+            fft_size=FFTSize.FFT_32K, guard_interval=GuardInterval.GI_1_32,
+            pilot_pattern=PilotPattern.PP7, carrier_mode=CarrierMode.EXTENDED,
+            fec_blocks=4, ti_blocks=2, t2_frames=2,
+            num_data_symbols=4).validate(),
+    }
+    chk = jax.jit(lambda o: jnp.sum(o[..., 0].astype(jnp.float32)))
+    for name, cfg in configs.items():
+        tx = Transmitter(cfg, 1, strict=False)
+        ts = synthetic_ts(tx.bytes_per_step, seed=3)
+        w = jax.device_put(jnp.asarray(
+            np.concatenate([np.zeros(187, np.uint8), ts])))
+        fi = jnp.int32(0)
+        float(chk(tx._step(w, fi)))  # compile
+        iters = 50
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = tx._step(w, fi)
+        float(chk(out))  # drain fence (axon tunnel)
+        lat_ms = (time.perf_counter() - t0) / iters * 1e3
+        print(f"{name:22s} frame latency {lat_ms:7.3f} ms   "
+              f"(frame duration {cfg.frame_duration*1e3:7.3f} ms, "
+              f"{cfg.frame_duration*1e3/lat_ms:6.1f}x real time)",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
