@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--batch", type=int, default=2,
                     help="T2 frames per jitted step")
     ap.add_argument("--gain", type=float, default=0.2)
+    ap.add_argument("--native-sink", action="store_true",
+                    help="write output through the C++ async sink thread "
+                         "(native/iq_sink.cc) instead of the python sink")
     ap.add_argument("--cpu", action="store_true",
                     help="run on the host CPU backend (the axon TPU plugin "
                          "ignores JAX_PLATFORMS)")
@@ -49,7 +52,12 @@ def main():
     tx = Transmitter(cfg, args.batch, strict=False, validate_ts=True)
     n = tx.bytes_per_step
 
-    with IQFileSink(args.output, gain=args.gain) as sink:
+    if args.native_sink:
+        from dvbt2ll_tpu.io.native_sink import NativeIQSink
+        sink_cls = lambda p, gain: NativeIQSink(p, gain=gain)
+    else:
+        sink_cls = IQFileSink
+    with sink_cls(args.output, gain=args.gain) as sink:
         if args.stdin:
             from dvbt2ll_tpu.io.ingest import TSIngest
             with TSIngest(fd=sys.stdin.fileno()) as ing:

@@ -90,3 +90,43 @@ def test_feeds_transmitter():
     out_python = tx(pkts.reshape(-1)[:n])
     ref = out_python.view(np.float32).reshape(out_native.shape)
     assert np.array_equal(out_native, ref)
+
+
+def test_native_iq_sink_matches_python_sink(tmp_path):
+    """The C++ async sink must write byte-identical cf32 output (incl. the
+    gain multiply) to the synchronous python IQFileSink."""
+    from dvbt2ll_tpu.io.native_sink import NativeIQSink
+    from dvbt2ll_tpu.io.sink import IQFileSink
+
+    rng = np.random.default_rng(5)
+    iq = (rng.standard_normal((3, 1000, 2)).astype(np.float32)
+          .reshape(3, 1000, 2).view(np.float32))
+    blocks = [iq[i].reshape(-1).view(np.complex64) for i in range(3)]
+
+    p_native, p_py = tmp_path / "n.cf32", tmp_path / "p.cf32"
+    with NativeIQSink(str(p_native), gain=0.2) as ns:
+        for b in blocks:
+            ns.write(b)
+        ns.flush()
+        assert ns.samples_written == 3000
+    with IQFileSink(str(p_py), gain=0.2) as ps:
+        for b in blocks:
+            ps.write(b)
+    a = np.fromfile(p_native, dtype=np.float32)
+    b = np.fromfile(p_py, dtype=np.float32)
+    assert a.shape == b.shape == (6000,)
+    assert np.array_equal(a, b)
+
+
+def test_native_iq_sink_large_wraparound(tmp_path):
+    """Ring wraparound + backpressure: write more than the ring capacity."""
+    from dvbt2ll_tpu.io.native_sink import NativeIQSink
+    rng = np.random.default_rng(6)
+    data = rng.standard_normal(1 << 18).astype(np.float32)
+    path = tmp_path / "w.cf32"
+    with NativeIQSink(str(path), gain=1.0, ring_samples=1 << 12) as ns:
+        for i in range(0, data.size, 4096):
+            ns.write(data[i:i + 4096])
+        ns.flush()
+    out = np.fromfile(path, dtype=np.float32)
+    assert np.array_equal(out, data)
