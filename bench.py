@@ -17,6 +17,32 @@ import sys
 import time
 
 
+def _named_config(name):
+    """BASELINE.json config matrix by name (default: the reference app)."""
+    from dvbt2ll_tpu.config import (CarrierMode, CodeRate, Constellation,
+                                    FFTSize, FrameSize, GuardInterval,
+                                    PilotPattern, Rotation, T2Config,
+                                    vv009_config)
+    if name == "vv009_4kshort":
+        return vv009_config()
+    if name == "8k_normal":
+        return T2Config(
+            frame_size=FrameSize.NORMAL, code_rate=CodeRate.C2_3,
+            constellation=Constellation.QAM64, rotation=Rotation.OFF,
+            fft_size=FFTSize.FFT_8K, guard_interval=GuardInterval.GI_1_16,
+            pilot_pattern=PilotPattern.PP3, fec_blocks=2, ti_blocks=1,
+            t2_frames=2, num_data_symbols=8).validate()
+    if name == "32k_extended":
+        return T2Config(
+            frame_size=FrameSize.NORMAL, code_rate=CodeRate.C4_5,
+            constellation=Constellation.QAM256, rotation=Rotation.ON,
+            fft_size=FFTSize.FFT_32K, guard_interval=GuardInterval.GI_1_32,
+            pilot_pattern=PilotPattern.PP7, carrier_mode=CarrierMode.EXTENDED,
+            fec_blocks=4, ti_blocks=2, t2_frames=2,
+            num_data_symbols=4).validate()
+    raise SystemExit(f"unknown config {name!r}")
+
+
 def main():
     import jax
     # tunnel compiles cost minutes; cache them on disk across runs
@@ -26,14 +52,14 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from dvbt2ll_tpu.config import vv009_config
     from dvbt2ll_tpu.io import synthetic_ts
     from dvbt2ll_tpu.pipeline import Transmitter
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+    name = sys.argv[3] if len(sys.argv) > 3 else "vv009_4kshort"
 
-    cfg = vv009_config()
+    cfg = _named_config(name)
     baseline_samp_rate = 8e6 * 8 / 7  # the grc app's samp_rate variable
     tx = Transmitter(cfg, batch, strict=False)
     n = tx.bytes_per_step
@@ -64,7 +90,7 @@ def main():
 
     rate = steps * batch * cfg.samples_per_frame / dt
     print(json.dumps({
-        "metric": "vv009_4kshort_throughput",
+        "metric": f"{name}_throughput",
         "value": round(rate / 1e6, 1),
         "unit": "Msamples/s/chip",
         "vs_baseline": round(rate / baseline_samp_rate, 1),

@@ -160,6 +160,19 @@ class ShardedTransmitter:
         return tuple(pp.ts_bytes_in * self.frame_shards
                      for pp in self.plan.plps)
 
+    # ----------------------------------------------------- checkpoint/resume
+    def state_dict(self) -> dict:
+        """Cross-step state: the per-mux/per-PLP TS carry windows and the
+        step counter (the T2 frame index is derived from it)."""
+        return {"carries": self._carries.copy(), "step_no": self._step_no}
+
+    def load_state(self, state: dict) -> None:
+        carries = np.asarray(state["carries"], dtype=np.uint8)
+        assert carries.shape == self._carries.shape, (
+            carries.shape, self._carries.shape)
+        self._carries = carries.copy()
+        self._step_no = int(state["step_no"])
+
 
 def grids_symbol_sharded(plan: TransmitPlan, mesh: Mesh, axis: str = "frame"):
     """Sequence-parallel OFDM back-end: shard the (B, S, fft) grids over the

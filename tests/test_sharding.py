@@ -94,3 +94,24 @@ def test_multi_plp_sharded_equals_sequential():
         outs.append(tx(step))
     seq = np.concatenate(outs, axis=0)
     assert np.array_equal(sharded, seq)
+
+
+def test_sharded_checkpoint_resume():
+    """Restoring state_dict must reproduce the exact same output stream."""
+    cfg = vv009_config()
+    mesh = make_mesh(jax.devices("cpu")[:4], mux=1)
+    stx = ShardedTransmitter(cfg, mesh, n_mux=1, frames_per_shard=1,
+                             strict=False)
+    n = stx.bytes_per_step_per_mux
+    ts = synthetic_ts(3 * n, seed=30)
+    stx(ts[None, :n])
+    snap = stx.state_dict()
+    a = stx(ts[None, n:2 * n])
+    b = stx(ts[None, 2 * n:])
+
+    stx2 = ShardedTransmitter(cfg, mesh, n_mux=1, frames_per_shard=1,
+                              strict=False)
+    stx2.load_state(snap)
+    a2 = stx2(ts[None, n:2 * n])
+    b2 = stx2(ts[None, 2 * n:])
+    assert np.array_equal(a, a2) and np.array_equal(b, b2)
