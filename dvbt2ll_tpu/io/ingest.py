@@ -39,7 +39,12 @@ def _load():
     global _lib
     with _lock:
         if _lib is None:
-            lib = ctypes.CDLL(_build_lib())
+            try:
+                lib = ctypes.CDLL(_build_lib())
+            except OSError:
+                # stale/foreign-arch cached .so: force a rebuild
+                os.remove(_LIB_CACHE)
+                lib = ctypes.CDLL(_build_lib())
             lib.ts_ingest_create.restype = ctypes.c_void_p
             lib.ts_ingest_create.argtypes = [ctypes.c_uint64, ctypes.c_int]
             lib.ts_ingest_destroy.argtypes = [ctypes.c_void_p]

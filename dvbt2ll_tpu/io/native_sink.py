@@ -38,7 +38,12 @@ def _load():
     global _lib
     with _lock:
         if _lib is None:
-            lib = ctypes.CDLL(_build_lib())
+            try:
+                lib = ctypes.CDLL(_build_lib())
+            except OSError:
+                # stale/foreign-arch cached .so: force a rebuild
+                os.remove(_LIB_CACHE)
+                lib = ctypes.CDLL(_build_lib())
             lib.iq_sink_create.restype = ctypes.c_void_p
             lib.iq_sink_create.argtypes = [
                 ctypes.c_char_p, ctypes.c_int, ctypes.c_uint64,
@@ -53,6 +58,7 @@ def _load():
             lib.iq_sink_floats_written.argtypes = [ctypes.c_void_p]
             lib.iq_sink_stalls.restype = ctypes.c_uint64
             lib.iq_sink_stalls.argtypes = [ctypes.c_void_p]
+            lib.iq_sink_destroy.restype = ctypes.c_int
             lib.iq_sink_destroy.argtypes = [ctypes.c_void_p]
             _lib = lib
     return _lib
@@ -96,8 +102,12 @@ class NativeIQSink:
 
     def close(self) -> None:
         if self._h:
-            self._lib.iq_sink_destroy(self._h)
+            rc = self._lib.iq_sink_destroy(self._h)
             self._h = None
+            if rc != 0:
+                raise OSError(
+                    "iq_sink writer thread hit a write error; output "
+                    "truncated")
 
     def __enter__(self):
         return self

@@ -136,7 +136,11 @@ class ShardedTransmitter:
             windows.append(jnp.asarray(
                 halo_windows(s, self._carries[:, i], self.frame_shards)))
             self._carries[:, i] = s[:, -187:]
-        # T2 frame index of the first frame of each shard
+        # T2 frame index of the first frame of each shard; keep the step
+        # counter bounded so the int32 device cast can never wrap (the
+        # counter advances by frames_per_step each step, so only its value
+        # mod t2_frames matters)
+        self._step_no %= cfg.t2_frames
         base = self._step_no * self.frames_per_step
         fidx = (base + np.arange(self.frame_shards) * self.plan.batch_frames
                 ) % cfg.t2_frames

@@ -12,6 +12,8 @@
 // Plain C ABI for ctypes.
 
 #include <atomic>
+#include <cerrno>
+#include <chrono>
 #include <cstdint>
 #include <cstring>
 #include <cstdio>
@@ -46,14 +48,21 @@ uint64_t next_pow2(uint64_t v) {
 }
 
 void writer_loop(Sink* s) {
+  int idle = 0;
   for (;;) {
     uint64_t head = s->head.load(std::memory_order_acquire);
     uint64_t tail = s->tail.load(std::memory_order_acquire);
     if (head == tail) {
       if (s->stop.load(std::memory_order_acquire)) break;
-      std::this_thread::yield();
+      // back off to a short sleep after a burst of empty polls so an idle
+      // sink does not pin a core (the common case: IO faster than compute)
+      if (++idle > 64)
+        std::this_thread::sleep_for(std::chrono::microseconds(100));
+      else
+        std::this_thread::yield();
       continue;
     }
+    idle = 0;
     uint64_t n = head - tail;
     if (n > s->staging_floats) n = s->staging_floats;
     uint64_t pos = tail & (s->capacity - 1);
@@ -66,12 +75,19 @@ void writer_loop(Sink* s) {
       const float* src = s->buf + pos;
       for (uint64_t i = 0; i < n; i++) s->staging[i] = src[i] * g;
     }
+    // byte-accurate write loop: short writes need not be float-aligned,
+    // and EINTR is a retry, not an error
+    uint64_t total = n * sizeof(float);
     uint64_t done = 0;
-    while (done < n) {
-      ssize_t w = write(s->fd, reinterpret_cast<char*>(s->staging) + done * 4,
-                        (n - done) * sizeof(float));
-      if (w < 0) { s->stop.store(2, std::memory_order_release); return; }
-      done += static_cast<uint64_t>(w) / 4;
+    while (done < total) {
+      ssize_t w = write(s->fd, reinterpret_cast<char*>(s->staging) + done,
+                        total - done);
+      if (w < 0) {
+        if (errno == EINTR) continue;
+        s->stop.store(2, std::memory_order_release);
+        return;
+      }
+      done += static_cast<uint64_t>(w);
     }
     s->tail.store(tail + n, std::memory_order_release);
     s->floats_out.fetch_add(n, std::memory_order_relaxed);
@@ -116,7 +132,7 @@ int iq_sink_write(void* h, const float* data, uint64_t n) {
     uint64_t free_f = s->capacity - (head - tail);
     if (free_f == 0) {
       s->producer_stalls.fetch_add(1, std::memory_order_relaxed);
-      std::this_thread::yield();
+      std::this_thread::sleep_for(std::chrono::microseconds(50));
       continue;
     }
     uint64_t take = n - written;
@@ -139,7 +155,7 @@ int iq_sink_flush(void* h) {
   uint64_t target = s->head.load(std::memory_order_acquire);
   while (s->tail.load(std::memory_order_acquire) < target) {
     if (s->stop.load(std::memory_order_acquire) == 2) return -1;
-    std::this_thread::yield();
+    std::this_thread::sleep_for(std::chrono::microseconds(50));
   }
   return 0;
 }
@@ -152,15 +168,20 @@ uint64_t iq_sink_stalls(void* h) {
   return static_cast<Sink*>(h)->producer_stalls.load(std::memory_order_relaxed);
 }
 
-void iq_sink_destroy(void* h) {
+// Drains, closes, frees.  Returns 0, or -1 if the writer hit a write
+// error (the remaining queued samples were dropped and the output file is
+// truncated) - callers must check.
+int iq_sink_destroy(void* h) {
   Sink* s = static_cast<Sink*>(h);
   if (s->stop.load(std::memory_order_acquire) != 2)
     s->stop.store(1, std::memory_order_release);
   s->writer.join();
+  int rc = s->stop.load(std::memory_order_acquire) == 2 ? -1 : 0;
   if (s->own_fd) close(s->fd);
   free(s->buf);
   free(s->staging);
   delete s;
+  return rc;
 }
 
 }  // extern "C"

@@ -36,8 +36,15 @@ def test_vv009_waveform_is_pinned():
     assert abs(np.abs(iq).sum() - checksum) / checksum < 1e-5
 
 
-if __name__ == "__main__":  # regenerate the golden file
-    iq = _first_frame()
+if __name__ == "__main__":
+    # regenerate the golden file FROM THE ORACLE (refmodel), never from the
+    # fast path - otherwise a pipeline bug that also lands in a pipeline-
+    # vs-oracle-consistent state could re-pin itself
+    from dvbt2ll_tpu import refmodel
+    cfg = vv009_config()
+    tx = Transmitter(cfg, 1, strict=False)  # only for bytes_per_step
+    ts = synthetic_ts(tx.bytes_per_step, seed=1234)
+    iq = refmodel.transmit_chain(cfg, ts, 1).reshape(-1)
     np.savez(_GOLDEN, p1=iq[:2048], sym0=iq[2048:2048 + 4224],
              checksum=np.abs(iq).sum())
-    print("golden written", iq.shape)
+    print("golden written from oracle", iq.shape)

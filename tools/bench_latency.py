@@ -19,29 +19,12 @@ import numpy as np
 
 
 def main():
-    from dvbt2ll_tpu.config import (CarrierMode, CodeRate, Constellation,
-                                    FFTSize, FrameSize, GuardInterval,
-                                    PilotPattern, Rotation, T2Config,
-                                    vv009_config)
+    from bench import _named_config
     from dvbt2ll_tpu.io import synthetic_ts
     from dvbt2ll_tpu.pipeline import Transmitter
 
-    configs = {
-        "vv009_4kshort": vv009_config(),
-        "8k_normal_64qam_pp3": T2Config(
-            frame_size=FrameSize.NORMAL, code_rate=CodeRate.C2_3,
-            constellation=Constellation.QAM64, rotation=Rotation.OFF,
-            fft_size=FFTSize.FFT_8K, guard_interval=GuardInterval.GI_1_16,
-            pilot_pattern=PilotPattern.PP3, fec_blocks=2, ti_blocks=1,
-            t2_frames=2, num_data_symbols=8).validate(),
-        "32k_ext_256qam_pp7": T2Config(
-            frame_size=FrameSize.NORMAL, code_rate=CodeRate.C4_5,
-            constellation=Constellation.QAM256, rotation=Rotation.ON,
-            fft_size=FFTSize.FFT_32K, guard_interval=GuardInterval.GI_1_32,
-            pilot_pattern=PilotPattern.PP7, carrier_mode=CarrierMode.EXTENDED,
-            fec_blocks=4, ti_blocks=2, t2_frames=2,
-            num_data_symbols=4).validate(),
-    }
+    configs = {name: _named_config(name)
+               for name in ("vv009_4kshort", "8k_normal", "32k_extended")}
     chk = jax.jit(lambda o: jnp.sum(o[..., 0].astype(jnp.float32)))
     for name, cfg in configs.items():
         tx = Transmitter(cfg, 1, strict=False)
