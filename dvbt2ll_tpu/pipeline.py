@@ -94,17 +94,18 @@ def bb_and_fec(pp: PlpPlan, ts_padded: jnp.ndarray) -> jnp.ndarray:
         rows = jnp.unpackbits(ts_padded[187:].reshape(p, 188), axis=1)
         stream = rows[:, 8:].reshape(-1)
     else:
-        # packet body i = padded bytes [188*i, 188*i + 187): rows of the
-        # carry-shifted window, dropping each row's trailing sync/CRC slot
-        body = (ts_padded[: p * 188] if nb >= p * 188
-                else jnp.pad(ts_padded, (0, p * 188 - nb)))
-        pkt = (jnp.unpackbits(body.reshape(p, 188), axis=1)[:, : 187 * 8]
-               .astype(jnp.int8))
+        fresh = jnp.pad(ts_padded[187:], (0, p * 188 - nfresh))
+        fresh_rows = jnp.unpackbits(fresh.reshape(p, 188), axis=1)  # (p,1504)
+        # packet body i = padded bytes [188*i, 188*i + 187): row 0 is the
+        # carry window, row i>0 is fresh row i-1 minus its sync slot - the
+        # SAME unpacked rows shifted by one, so one unpack feeds both the
+        # CRC inputs and the output stream
+        carry_bits = jnp.unpackbits(ts_padded[:187])
+        pkt = jnp.concatenate(
+            [carry_bits[None], fresh_rows[:-1, 8:]], axis=0).astype(jnp.int8)
         crc = (jnp.matmul(pkt, c["crc_matrix"],
                           preferred_element_type=jnp.int32) & 1
                ).astype(jnp.uint8)
-        fresh = jnp.pad(ts_padded[187:], (0, p * 188 - nfresh))
-        fresh_rows = jnp.unpackbits(fresh.reshape(p, 188), axis=1)
         stream = (jnp.concatenate([crc, fresh_rows[:, 8:]], axis=1)
                   .reshape(-1)[: nfresh * 8])
 

@@ -204,3 +204,17 @@ def test_t2_lite_preambles(pre):
     ts = synthetic_ts(tx_lite.bytes_per_step, seed=71)
     a, b = tx_lite(ts), tx_t2(ts)
     assert not np.allclose(a[:, :2048], b[:, :2048])
+
+
+def test_reserved_bias_bits_v131():
+    """V1.3.1 L1 bias balancing: reserved fields forced to all-ones
+    (reference framemapperfint :145-250 RESERVED_ON branches)."""
+    import dataclasses
+    from dvbt2ll_tpu.config import Version, vv009_config
+    base = dataclasses.replace(vv009_config(), version=Version.V131)
+    cfg = dataclasses.replace(base, reserved_bias_bits=True).validate()
+    assert _snr_db(cfg, seed=81) > 100.0
+    tx_a = Transmitter(cfg, 1, strict=False)
+    tx_b = Transmitter(base, 1, strict=False)
+    ts = synthetic_ts(tx_a.bytes_per_step, seed=81)
+    assert not np.allclose(tx_a(ts), tx_b(ts))
