@@ -218,3 +218,32 @@ def test_reserved_bias_bits_v131():
     tx_b = Transmitter(base, 1, strict=False)
     ts = synthetic_ts(tx_a.bytes_per_step, seed=81)
     assert not np.allclose(tx_a(ts), tx_b(ts))
+
+
+def test_papr_ace_signalling_only():
+    """ACE PAPR is signalling-only in the reference (no tone reservation:
+    the carrier budget is unchanged, only the L1 papr field differs)."""
+    import dataclasses
+    from dvbt2ll_tpu.config import PAPR, vv009_config
+    base = vv009_config()
+    cfg = dataclasses.replace(base, papr=PAPR.ACE).validate()
+    assert cfg.c_data == base.c_data          # no reserved tones
+    assert _snr_db(cfg, seed=82) > 100.0
+    tx_a = Transmitter(cfg, 1, strict=False)
+    tx_b = Transmitter(base, 1, strict=False)
+    ts = synthetic_ts(tx_a.bytes_per_step, seed=82)
+    assert not np.allclose(tx_a(ts), tx_b(ts))  # L1 papr field differs
+
+
+def test_non_t2_preamble_smoke():
+    """S1=NON_T2 (FEF-part P1): the P1 pattern changes, chain stays exact."""
+    import dataclasses
+    from dvbt2ll_tpu.config import Preamble, vv009_config
+    base = vv009_config()
+    cfg = dataclasses.replace(base, preamble=Preamble.NON_T2).validate()
+    assert _snr_db(cfg, seed=83) > 100.0
+    tx_a = Transmitter(cfg, 1, strict=False)
+    tx_b = Transmitter(base, 1, strict=False)
+    ts = synthetic_ts(tx_a.bytes_per_step, seed=83)
+    a, b = tx_a(ts), tx_b(ts)
+    assert not np.allclose(a[:, :2048], b[:, :2048])
