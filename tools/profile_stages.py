@@ -4,16 +4,12 @@ Times each pipeline stage as its own jitted program (checksum-fenced for
 the axon tunnel, where block_until_ready returns early) to rank hot spots.
 Usage: python tools/profile_stages.py [batch] [iters]
 """
-import os
 import sys
 import time
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from _common import bench, fence  # noqa: F401  (adds repo root to sys.path)
 
 import jax
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import numpy as np
 
@@ -21,24 +17,6 @@ from dvbt2ll_tpu.config import vv009_config
 from dvbt2ll_tpu.io import synthetic_ts
 from dvbt2ll_tpu import pipeline as P
 from dvbt2ll_tpu.pipeline import Transmitter
-
-
-def fence(x):
-    return float(jnp.sum(jnp.abs(jnp.ravel(x)[:16].astype(jnp.complex64))))
-
-
-def bench(name, fn, *args, iters=20):
-    f = jax.jit(fn)
-    out = f(*args)
-    fence(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = f(*args)
-    fence(out)
-    dt = (time.perf_counter() - t0) / iters
-    print(f"{name:18s} {dt*1e3:8.2f} ms   out={getattr(out, 'shape', None)}")
-    return out, dt
-
 
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
