@@ -36,8 +36,6 @@ def _plp_consts(pp: PlpPlan):
             "crc_scatter": np.asarray(pp.crc_scatter, np.int32),
             "scramble": np.asarray(pp.scramble, np.uint8),
             "bch_matrix": np.asarray(pp.bch_matrix, np.int8),
-            "ldpc_gather": (None if pp.ldpc_gather is None
-                            else np.asarray(pp.ldpc_gather, np.int32)),
             "mapper_perm": np.asarray(pp.mapper_perm, np.int32),
             "qam": np.asarray(pp.qam, np.complex64),
             "ti_perm": np.asarray(pp.ti_perm, np.int32),
@@ -136,42 +134,33 @@ def bb_and_fec(pp: PlpPlan, ts_padded: jnp.ndarray) -> jnp.ndarray:
                               jnp.uint8)
     nbch_bits = jnp.concatenate([kbch_bits, bch_par], axis=1)  # (F, nbch)
 
-    if pp.ldpc_cols is not None:
-        # LDPC parity via the quasi-cyclic structure (tables/ldpc.qc_entries):
-        # with the accumulator laid out (360, q) [parity p -> (p//q, p%q)],
-        # Annex-A entry (r, a) XORs roll(info group r, a//q) into column a%q
-        # - a fully static schedule of ~100 rolls, no gather tables.  The
-        # final chain p[j] ^= p[j-1] factors into an in-row (q-wide)
-        # inclusive prefix plus an exclusive log-depth scan over 360 rows.
-        q = cfg.q_ldpc
-        g = nbch_bits.reshape(f, cfg.nbch // 360, 360)
-        cols = []
-        for entries in pp.ldpc_cols:
-            acc = None
-            for (r, s) in entries:
-                t = jnp.roll(g[:, r], s, axis=1)
-                acc = t if acc is None else acc ^ t
-            cols.append(acc if acc is not None
-                        else jnp.zeros((f, 360), jnp.uint8))
-        run = cols[0]
-        incl = [run]
-        for cc in range(1, q):
-            run = run ^ cols[cc]
-            incl.append(run)
-        incl = jnp.stack(incl, axis=2)                   # (F, 360, q)
-        row_inc = jax.lax.associative_scan(jnp.bitwise_xor, run, axis=1)
-        row_excl = jnp.concatenate(
-            [jnp.zeros((f, 1), jnp.uint8), row_inc[:, :-1]], axis=1)
-        ldpc_par = (incl ^ row_excl[:, :, None]).reshape(
-            f, cfg.ldpc_parity_bits)
-    else:
-        # large (normal-frame) schedules: gather along the MAJOR axis (each
-        # lookup copies a contiguous F-vector), uint8 accumulation (mod-256
-        # preserves parity), prefix chain as a uint8 cumsum
-        ext_t = jnp.concatenate(
-            [nbch_bits.T, jnp.zeros((1, f), jnp.uint8)], axis=0)
-        acc_t = ext_t[c["ldpc_gather"]].sum(1, dtype=jnp.uint8)  # (plen, F)
-        ldpc_par = (jnp.cumsum(acc_t, axis=0, dtype=jnp.uint8) & 1).T
+    # LDPC parity via the quasi-cyclic structure (tables/ldpc.qc_entries):
+    # with the accumulator laid out (360, q) [parity p -> (p//q, p%q)],
+    # Annex-A entry (r, a) XORs roll(info group r, a//q) into column a%q -
+    # a fully static schedule of 85-648 rolls, no gather tables (1.4-2.1x
+    # faster than a padded major-axis gather, measured on TPU).  The final
+    # chain p[j] ^= p[j-1] factors into an in-row (q-wide) inclusive
+    # prefix plus an exclusive log-depth scan over the 360 rows.
+    q = cfg.q_ldpc
+    g = nbch_bits.reshape(f, cfg.nbch // 360, 360)
+    cols = []
+    for entries in pp.ldpc_cols:
+        acc = None
+        for (r, s) in entries:
+            t = jnp.roll(g[:, r], s, axis=1)
+            acc = t if acc is None else acc ^ t
+        cols.append(acc if acc is not None
+                    else jnp.zeros((f, 360), jnp.uint8))
+    run = cols[0]
+    incl = [run]
+    for cc in range(1, q):
+        run = run ^ cols[cc]
+        incl.append(run)
+    incl = jnp.stack(incl, axis=2)                       # (F, 360, q)
+    row_inc = jax.lax.associative_scan(jnp.bitwise_xor, run, axis=1)
+    row_excl = jnp.concatenate(
+        [jnp.zeros((f, 1), jnp.uint8), row_inc[:, :-1]], axis=1)
+    ldpc_par = (incl ^ row_excl[:, :, None]).reshape(f, cfg.ldpc_parity_bits)
     return jnp.concatenate([nbch_bits, ldpc_par], axis=1)
 
 
