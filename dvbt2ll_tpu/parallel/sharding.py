@@ -155,6 +155,27 @@ class ShardedTransmitter:
         c = iq.shape[0]
         return iq.reshape(c, self.frames_per_step, -1).view(np.complex64)
 
+    def stream(self, ts_bytes) -> np.ndarray:
+        """Like __call__ but returns the flat (n_mux, samples) emitted
+        stream with FEF parts inserted after every fef_interval-th T2 frame
+        (EN 302 755 section 8.4; no-op when the config has no FEF).  The
+        frame counter is bounded mod t2_frames, which preserves the FEF
+        cadence because fef_interval divides t2_frames (validated)."""
+        start = (self._step_no % self.cfg.t2_frames) * self.frames_per_step
+        frames = self(ts_bytes)
+        if not self.cfg.has_fef:
+            return frames.reshape(frames.shape[0], -1)
+        iv = self.cfg.fef_interval
+        out = []
+        for c in range(frames.shape[0]):
+            parts = []
+            for i in range(frames.shape[1]):
+                parts.append(frames[c, i])
+                if (start + i) % iv == iv - 1:
+                    parts.append(self.plan.fef_part)
+            out.append(np.concatenate(parts))
+        return np.stack(out)
+
     @property
     def bytes_per_step_per_mux(self) -> int:
         return self.plan.ts_bytes_in * self.frame_shards

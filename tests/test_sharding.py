@@ -115,3 +115,21 @@ def test_sharded_checkpoint_resume():
     a2 = stx2(ts[None, n:2 * n])
     b2 = stx2(ts[None, 2 * n:])
     assert np.array_equal(a, a2) and np.array_equal(b, b2)
+
+
+def test_sharded_fef_stream_matches_sequential():
+    """FEF insertion under frame sharding equals the sequential stream()."""
+    import dataclasses
+    cfg = dataclasses.replace(vv009_config(), fef_length=4096,
+                              fef_interval=2).validate()
+    mesh = make_mesh(jax.devices("cpu")[:4], mux=1)
+    stx = ShardedTransmitter(cfg, mesh, n_mux=1, frames_per_shard=1,
+                             strict=False)
+    ts = synthetic_ts(stx.bytes_per_step_per_mux, seed=33)
+    sharded = stx.stream(ts[None])[0]
+
+    tx = Transmitter(cfg, 1, strict=False)
+    n = tx.bytes_per_step
+    seq = np.concatenate([tx.stream(ts[i * n:(i + 1) * n])
+                          for i in range(4)])
+    assert np.array_equal(sharded, seq)
