@@ -247,3 +247,28 @@ def test_non_t2_preamble_smoke():
     ts = synthetic_ts(tx_a.bytes_per_step, seed=83)
     a, b = tx_a(ts), tx_b(ts)
     assert not np.allclose(a[:, :2048], b[:, :2048])
+
+
+@pytest.mark.parametrize("bw", [0, 3, 5])
+def test_inverse_sinc_per_bandwidth(bw):
+    """Inverse-sinc pre-equalization differs per bandwidth profile
+    (reference pilotgenp1insert :1179-1219 sample-rate table)."""
+    import dataclasses
+    from dvbt2ll_tpu.config import Bandwidth, vv009_config
+    cfg = dataclasses.replace(vv009_config(), equalization=True,
+                              bandwidth=Bandwidth(bw)).validate()
+    assert _snr_db(cfg, seed=84 + bw) > 100.0
+
+
+def test_inverse_sinc_bandwidth_invariance():
+    """The reference steps f by fs/vlength and evaluates sinc(pi*f/fs), so
+    fs cancels: the pre-equalization table is IDENTICAL for every
+    bandwidth profile (pilotgenp1insert :1202-1215).  Pin that quirk."""
+    import dataclasses
+    from dvbt2ll_tpu.config import Bandwidth, vv009_config
+    from dvbt2ll_tpu.tables.pilots import inverse_sinc
+    eqs = [inverse_sinc(dataclasses.replace(
+        vv009_config(), equalization=True, bandwidth=Bandwidth(b)))
+        for b in range(6)]
+    for i in range(1, 6):
+        assert np.array_equal(eqs[0], eqs[i])
