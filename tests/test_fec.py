@@ -105,3 +105,35 @@ def test_packet_crc_matrix_matches_serial():
 
 def test_header_crc8_known_zero():
     assert (header_crc8_bits(np.zeros(72, np.uint8), False) == 0).all()
+
+
+@pytest.mark.parametrize("frame_size,rate", [
+    (fs, r) for fs in (FrameSize.SHORT, FrameSize.NORMAL)
+    for r in (CodeRate.C1_3, CodeRate.C2_5, CodeRate.C1_2, CodeRate.C3_5,
+              CodeRate.C2_3, CodeRate.C3_4, CodeRate.C4_5, CodeRate.C5_6)
+    if not (fs == FrameSize.NORMAL and r in (CodeRate.C1_3, CodeRate.C2_5))
+])
+def test_ldpc_qc_roll_matches_scatter(frame_size, rate):
+    """The quasi-cyclic roll schedule (the pipeline's encoder) must equal
+    the scatter oracle for all 14 Annex-A tables: entry (r, a) XORs
+    roll(group r, a//q) into column a%q of a (360, q) accumulator, and the
+    prefix chain factors into in-row prefix + exclusive row scan."""
+    cfg = T2Config(frame_size=frame_size, code_rate=rate, fec_blocks=1,
+                   ti_blocks=1)
+    npar, k, q = cfg.ldpc_parity_bits, cfg.nbch, cfg.q_ldpc
+    cols_sched = ldpc.qc_entries(frame_size, rate, q)
+    rng = np.random.default_rng(4)
+    info = rng.integers(0, 2, k).astype(np.uint8)
+
+    g = info.reshape(k // 360, 360)
+    acc = np.zeros((360, q), dtype=np.uint8)
+    for c, entries in enumerate(cols_sched):
+        for (r, s) in entries:
+            acc[:, c] ^= np.roll(g[r], s)
+    incl = np.bitwise_xor.accumulate(acc, axis=1)       # in-row prefix
+    row_tot = incl[:, -1]
+    row_excl = np.concatenate([[0], np.bitwise_xor.accumulate(row_tot)[:-1]])
+    p_qc = (incl ^ row_excl[:, None]).reshape(npar)
+
+    p_scatter = ldpc.encode_ref(info, frame_size, rate, npar, q)
+    assert (p_qc == p_scatter).all()
