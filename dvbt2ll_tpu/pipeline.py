@@ -141,6 +141,14 @@ def bb_and_fec(pp: PlpPlan, ts_padded: jnp.ndarray) -> jnp.ndarray:
     # faster than a padded major-axis gather, measured on TPU).  The final
     # chain p[j] ^= p[j-1] factors into an in-row (q-wide) inclusive
     # prefix plus an exclusive log-depth scan over the 360 rows.
+    if getattr(pp, "use_pallas", False):
+        # VMEM-resident Pallas kernel, ~15% faster than the XLA schedule
+        # on TPU (ops/ldpc_pallas.py); CPU runs keep the XLA path
+        from .ops import qc_ldpc_parity_pallas
+        ldpc_par = qc_ldpc_parity_pallas(
+            pp.ldpc_cols, cfg.nbch, cfg.ldpc_parity_bits, cfg.q_ldpc,
+            nbch_bits)
+        return jnp.concatenate([nbch_bits, ldpc_par], axis=1)
     q = cfg.q_ldpc
     g = nbch_bits.reshape(f, cfg.nbch // 360, 360)
     # rolls as static slices of a doubled copy: one op per entry instead of
@@ -312,11 +320,19 @@ class Transmitter:
     """
 
     def __init__(self, cfg: T2Config, batch_frames: Optional[int] = None,
-                 strict: bool = True, validate_ts: bool = False):
+                 strict: bool = True, validate_ts: bool = False,
+                 use_pallas: Optional[bool] = None):
         from .observability import TxCounters
 
         self.cfg = cfg
         self.plan = build_plan(cfg, batch_frames, strict=strict)
+        if use_pallas is None:
+            # auto: Pallas kernels only when the step will run on a TPU
+            # (respects an active jax.default_device(cpu) context)
+            d = jax.config.jax_default_device or jax.devices()[0]
+            use_pallas = d.platform not in ("cpu", "gpu", "cuda", "rocm")
+        for pp in self.plan.plps:
+            pp.use_pallas = use_pallas
         self._carries = [np.zeros(187, dtype=np.uint8)
                          for _ in self.plan.plps]
         self._frame_idx = 0

@@ -137,3 +137,29 @@ def test_ldpc_qc_roll_matches_scatter(frame_size, rate):
 
     p_scatter = ldpc.encode_ref(info, frame_size, rate, npar, q)
     assert (p_qc == p_scatter).all()
+
+
+def test_pallas_qc_ldpc_matches_xla(monkeypatch):
+    """The Pallas VMEM kernel (interpret mode on CPU) must equal the XLA
+    slice-schedule parity bit-for-bit."""
+    import jax.numpy as jnp
+    from dvbt2ll_tpu.config import vv009_config
+    from dvbt2ll_tpu.ops.ldpc_pallas import qc_ldpc_parity_pallas
+    from dvbt2ll_tpu.plan import build_plan
+    from dvbt2ll_tpu import pipeline
+
+    cfg = vv009_config()
+    plan = build_plan(cfg, 1, strict=False)
+    pp = plan.plps[0]
+    rng = np.random.default_rng(7)
+    nb = rng.integers(0, 2, (pp.fec_frames, cfg.nbch), dtype=np.uint8)
+
+    par_pallas = np.asarray(qc_ldpc_parity_pallas(
+        pp.ldpc_cols, cfg.nbch, cfg.ldpc_parity_bits, cfg.q_ldpc,
+        jnp.asarray(nb), interpret=True))
+
+    # oracle per frame
+    for i in range(nb.shape[0]):
+        ref = ldpc.encode_ref(nb[i], cfg.frame_size, cfg.code_rate,
+                              cfg.ldpc_parity_bits, cfg.q_ldpc)
+        assert (par_pallas[i] == ref).all()
