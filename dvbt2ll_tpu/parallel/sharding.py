@@ -72,7 +72,7 @@ class ShardedTransmitter:
 
     def __init__(self, cfg: T2Config, mesh: Mesh, n_mux: int = 1,
                  frames_per_shard: Optional[int] = None,
-                 strict: bool = True):
+                 strict: bool = True, use_pallas: Optional[bool] = None):
         self.cfg = cfg
         self.mesh = mesh
         self.n_mux = n_mux
@@ -82,6 +82,12 @@ class ShardedTransmitter:
             raise ValueError("n_mux must divide over the mux axis")
         # each shard runs an independent plan instance of this many frames
         self.plan = build_plan(cfg, frames_per_shard, strict=strict)
+        if use_pallas is None:
+            # Pallas kernels only when the mesh devices are TPUs
+            use_pallas = (np.asarray(mesh.devices).flat[0].platform
+                          not in ("cpu", "gpu", "cuda", "rocm"))
+        for pp in self.plan.plps:
+            pp.use_pallas = use_pallas
         self.frame_shards = frame_shards
         self.mux_per_shard = n_mux // mux_shards
         self.frames_per_step = self.plan.batch_frames * frame_shards
