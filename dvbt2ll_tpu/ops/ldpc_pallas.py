@@ -20,11 +20,8 @@ Kernel-facing layout notes:
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -69,22 +66,34 @@ def _make_kernel(cols_sched, nbch: int, plen: int, q: int, f_pad: int,
     )
 
 
-def _tile_for(nbch: int, plen: int) -> int:
-    """Largest 128-multiple lane tile whose in+out blocks fit the ~16 MB
-    VMEM budget with headroom for the streaming accumulator."""
-    budget = 10 * (1 << 20)
-    t = 256
-    while t > 128 and (nbch + plen + 16 * 360) * t > budget:
-        t //= 2
-    return max(t, 128)
+def _tile_for(nbch: int, plen: int, f: int):
+    """Largest 128-multiple lane tile whose blocks fit the 16 MB scoped
+    VMEM budget, or None if no tile fits (caller falls back to XLA).
+
+    With more than one grid step Pallas double-buffers the in/out blocks,
+    so the block bytes count twice; ~24 extra (360, tile) temporaries
+    cover the streaming accumulator and scan ladder (validated against
+    the Mosaic scoped-vmem accounting on hardware: vv009 tile 256/grid 8
+    fits, 8K-normal tile 128 fits only at grid 1)."""
+    budget = 15 * (1 << 20)
+    for t in (256, 128):
+        f_pad = -(-f // t) * t
+        bufs = 1 if f_pad == t else 2
+        if (bufs * (nbch + plen) + 24 * 360) * t <= budget:
+            return t
+    return None
 
 
 def qc_ldpc_parity_pallas(cols_sched, nbch: int, plen: int, q: int,
                           nbch_bits: jnp.ndarray,
-                          interpret: bool = False) -> jnp.ndarray:
-    """(F, nbch) uint8 codeword bits -> (F, plen) uint8 LDPC parity."""
+                          interpret: bool = False):
+    """(F, nbch) uint8 codeword bits -> (F, plen) uint8 LDPC parity, or
+    None when no lane tile fits VMEM (large tables with a multi-step
+    grid) - the caller must then use the XLA schedule."""
     f = nbch_bits.shape[0]
-    f_tile = _tile_for(nbch, plen)
+    f_tile = _tile_for(nbch, plen, f)
+    if f_tile is None:
+        return None
     f_pad = -(-f // f_tile) * f_tile
     bits_t = nbch_bits.T
     if f_pad != f:

@@ -143,12 +143,15 @@ def bb_and_fec(pp: PlpPlan, ts_padded: jnp.ndarray) -> jnp.ndarray:
     # prefix plus an exclusive log-depth scan over the 360 rows.
     if getattr(pp, "use_pallas", False):
         # VMEM-resident Pallas kernel, ~15% faster than the XLA schedule
-        # on TPU (ops/ldpc_pallas.py); CPU runs keep the XLA path
+        # on TPU (ops/ldpc_pallas.py); CPU runs keep the XLA path.
+        # Returns None when no lane tile fits VMEM (normal-frame tables
+        # with a multi-step grid) - fall through to XLA then.
         from .ops import qc_ldpc_parity_pallas
         ldpc_par = qc_ldpc_parity_pallas(
             pp.ldpc_cols, cfg.nbch, cfg.ldpc_parity_bits, cfg.q_ldpc,
             nbch_bits)
-        return jnp.concatenate([nbch_bits, ldpc_par], axis=1)
+        if ldpc_par is not None:
+            return jnp.concatenate([nbch_bits, ldpc_par], axis=1)
     q = cfg.q_ldpc
     g = nbch_bits.reshape(f, cfg.nbch // 360, 360)
     # rolls as static slices of a doubled copy: one op per entry instead of
@@ -327,8 +330,11 @@ class Transmitter:
         self.cfg = cfg
         self.plan = build_plan(cfg, batch_frames, strict=strict)
         if use_pallas is None:
-            # auto: Pallas kernels only when the step will run on a TPU
-            # (respects an active jax.default_device(cpu) context)
+            # auto, decided AT CONSTRUCTION TIME: Pallas kernels only when
+            # the default device is a TPU (a jax.default_device(cpu)
+            # context must wrap construction, not just the calls - pass
+            # use_pallas=False explicitly to run a TPU-built transmitter
+            # on CPU)
             d = jax.config.jax_default_device or jax.devices()[0]
             use_pallas = d.platform not in ("cpu", "gpu", "cuda", "rocm")
         for pp in self.plan.plps:

@@ -139,14 +139,13 @@ def test_ldpc_qc_roll_matches_scatter(frame_size, rate):
     assert (p_qc == p_scatter).all()
 
 
-def test_pallas_qc_ldpc_matches_xla(monkeypatch):
+def test_pallas_qc_ldpc_matches_xla():
     """The Pallas VMEM kernel (interpret mode on CPU) must equal the XLA
     slice-schedule parity bit-for-bit."""
     import jax.numpy as jnp
     from dvbt2ll_tpu.config import vv009_config
     from dvbt2ll_tpu.ops.ldpc_pallas import qc_ldpc_parity_pallas
     from dvbt2ll_tpu.plan import build_plan
-    from dvbt2ll_tpu import pipeline
 
     cfg = vv009_config()
     plan = build_plan(cfg, 1, strict=False)

@@ -15,7 +15,7 @@ import numpy as np
 
 from dvbt2ll_tpu.config import vv009_config
 from dvbt2ll_tpu.pipeline import Transmitter, _plp_consts
-from dvbt2ll_tpu.tables.ldpc import _TABLES, address_pairs
+from dvbt2ll_tpu.tables.ldpc import _TABLES, address_pairs, encoder_gather
 from dvbt2ll_tpu.tables import table
 
 
@@ -75,10 +75,13 @@ def main():
         ext_t = jnp.concatenate(
             [nbch_bits.T, jnp.zeros((1, nbch_bits.shape[0]), jnp.uint8)],
             axis=0)
-        acc_t = ext_t[c["ldpc_gather"]].sum(1, dtype=jnp.uint8)
+        acc_t = ext_t[ldpc_g].sum(1, dtype=jnp.uint8)
         ldpc_par = (jnp.cumsum(acc_t, axis=0, dtype=jnp.uint8) & 1).T
         return jnp.concatenate([nbch_bits, ldpc_par], axis=1)
 
+    ldpc_g, _ = encoder_gather(cfg.frame_size, cfg.code_rate,
+                               cfg.ldpc_parity_bits, cfg.nbch, cfg.q_ldpc)
+    ldpc_g = np.asarray(ldpc_g, np.int32)
     G = build_dense_generator(cfg, np.asarray(c["bch_matrix"], np.uint8))
     Gi8 = G.astype(np.int8)
 

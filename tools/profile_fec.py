@@ -15,6 +15,15 @@ import numpy as np
 from dvbt2ll_tpu.config import vv009_config
 from dvbt2ll_tpu.io import synthetic_ts
 from dvbt2ll_tpu.pipeline import Transmitter, _plp_consts
+from dvbt2ll_tpu.tables.ldpc import encoder_gather
+
+
+def _gather_for(cfg):
+    """The padded-gather formulation left the production plan (the QC-roll
+    schedule replaced it); rebuild it here for the A/B evidence runs."""
+    g, _ = encoder_gather(cfg.frame_size, cfg.code_rate,
+                          cfg.ldpc_parity_bits, cfg.nbch, cfg.q_ldpc)
+    return np.asarray(g, np.int32)
 
 
 def fence(x):
@@ -45,8 +54,9 @@ def main():
     ts = np.concatenate([np.zeros(187, np.uint8), synthetic_ts(n)])
     w = jax.device_put(jnp.asarray(ts))
     f, p = pp.fec_frames, pp.n_packets
+    ldpc_g = _gather_for(cfg)
     print(f"F={f} packets={p} nbch={cfg.nbch} plen={cfg.ldpc_parity_bits} "
-          f"D={c['ldpc_gather'].shape[1]}", flush=True)
+          f"D={ldpc_g.shape[1]}", flush=True)
 
     bits = bench("unpackbits", lambda a: jnp.unpackbits(a), w)
 
@@ -79,7 +89,7 @@ def main():
     def ldpc_gather_sum(nb):
         ext_t = jnp.concatenate(
             [nb.T, jnp.zeros((1, nb.shape[0]), jnp.uint8)], axis=0)
-        return (ext_t[c["ldpc_gather"]].astype(jnp.int32).sum(1) & 1)
+        return (ext_t[ldpc_g].astype(jnp.int32).sum(1) & 1)
 
     acc = bench("ldpc gather+sum", ldpc_gather_sum, nbch_bits)
 
@@ -90,7 +100,7 @@ def main():
     def ldpc_u8(nb):
         ext_t = jnp.concatenate(
             [nb.T, jnp.zeros((1, nb.shape[0]), jnp.uint8)], axis=0)
-        acc = ext_t[c["ldpc_gather"]].sum(1, dtype=jnp.uint8)
+        acc = ext_t[ldpc_g].sum(1, dtype=jnp.uint8)
         return (jnp.cumsum(acc, axis=0, dtype=jnp.uint8) & 1).T
 
     bench("ldpc u8 full", ldpc_u8, nbch_bits)
@@ -101,7 +111,7 @@ def main():
         packed = jnp.packbits(nb.T, axis=-1)       # (nbch, F/8) u8
         packed = jnp.concatenate(
             [packed, jnp.zeros((1, fb // 8), jnp.uint8)], axis=0)
-        g = packed[c["ldpc_gather"]]               # (plen, D, F/8)
+        g = packed[ldpc_g]               # (plen, D, F/8)
         x = g[:, 0]
         for k in range(1, g.shape[1]):
             x = x ^ g[:, k]
@@ -139,7 +149,7 @@ def ldpc_i32_variant():
     def current(nb):
         ext_t = jnp.concatenate(
             [nb.T, jnp.zeros((1, nb.shape[0]), jnp.uint8)], axis=0)
-        acc_t = ext_t[c["ldpc_gather"]].sum(1, dtype=jnp.uint8)
+        acc_t = ext_t[ldpc_g].sum(1, dtype=jnp.uint8)
         return (jnp.cumsum(acc_t, axis=0, dtype=jnp.uint8) & 1).T
 
     def i32_fold(nb):
@@ -148,7 +158,7 @@ def ldpc_i32_variant():
             [nb.T, jnp.zeros((1, fr), jnp.uint8)], axis=0)
         ext32 = jax.lax.bitcast_convert_type(
             ext_t.reshape(-1, fr // 4, 4), jnp.int32)   # (nbch+1, F/4)
-        g = ext32[c["ldpc_gather"]]                      # (plen, D, F/4)
+        g = ext32[_gather_for(cfg)]                      # (plen, D, F/4)
         x = g[:, 0]
         for k in range(1, g.shape[1]):
             x = x ^ g[:, k]
@@ -201,7 +211,7 @@ def ldpc_qc_roll_variant():
     def current(nb):
         ext_t = jnp.concatenate(
             [nb.T, jnp.zeros((1, nb.shape[0]), jnp.uint8)], axis=0)
-        acc_t = ext_t[c["ldpc_gather"]].sum(1, dtype=jnp.uint8)
+        acc_t = ext_t[ldpc_g].sum(1, dtype=jnp.uint8)
         return (jnp.cumsum(acc_t, axis=0, dtype=jnp.uint8) & 1).T
 
     def qc_roll(nb):

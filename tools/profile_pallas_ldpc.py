@@ -1,11 +1,13 @@
-"""Pallas QC-LDPC encoder experiment vs the XLA slice-schedule version.
+"""Pallas QC-LDPC encoder (the shipped ops/ldpc_pallas.py kernel) vs the
+XLA slice-schedule, on real hardware.
 
-Layout: bits transposed to (nbch, F) so every QC roll is a SUBLANE
-rotation (360 = 45*8 sublanes, perfectly tiled; F lanes are 128-aligned)
-and the whole (360, q) accumulator stays in VMEM across the schedule.
 Usage: python tools/profile_pallas_ldpc.py [F] [config]
+  config: vv009_4kshort (default) | 8k_normal | 32k_extended
+Measured on TPU v5e (F=2048, vv009): XLA 1.16 ms, Pallas 0.96-0.99 ms
+including the wrapping transposes.  Normal-frame tables fit VMEM only at
+grid 1 (F <= 128); beyond that the kernel declines (returns None) and
+the pipeline keeps the XLA schedule.
 """
-import functools
 import sys
 
 from _common import bench
@@ -13,62 +15,16 @@ from _common import bench
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
-from dvbt2ll_tpu.config import vv009_config
+from bench import _named_config
+from dvbt2ll_tpu.ops.ldpc_pallas import qc_ldpc_parity_pallas
 from dvbt2ll_tpu.tables.ldpc import qc_entries
-
-
-def make_pallas_ldpc(cols_sched, nbch, plen, q, f_total, f_tile=512):
-    rows = nbch // 360
-
-    def kernel(bits_ref, out_ref):
-        # bits_ref: (nbch, f_tile) u8; out_ref: (q*360, f_tile) holding the
-        # in-row inclusive prefix, COLUMN-major (block c = incl[c] over m);
-        # the caller undoes the layout.  Columns stream through out_ref so
-        # only one (360, f_tile) value is live at a time (VMEM stack).
-        run = None
-        for c, entries in enumerate(cols_sched):
-            acc = None
-            for (r, s) in entries:
-                t = bits_ref[r * 360:(r + 1) * 360, :]
-                if s:  # static roll: out[m] = in[(m - s) % 360]
-                    t = jnp.concatenate([t[360 - s:], t[:360 - s]], axis=0)
-                acc = t if acc is None else acc ^ t
-            if acc is None:
-                acc = jnp.zeros((360, bits_ref.shape[1]), jnp.uint8)
-            run = acc if run is None else run ^ acc
-            out_ref[c * 360:(c + 1) * 360, :] = run
-        # Hillis-Steele inclusive XOR scan over the 360 rows (log-depth;
-        # associative_scan lowers to zero-size slices Mosaic rejects)
-        x = run
-        sh = 1
-        while sh < 360:
-            x = x ^ jnp.concatenate(
-                [jnp.zeros((sh, x.shape[1]), jnp.uint8), x[:-sh]], axis=0)
-            sh *= 2
-        row_excl = jnp.concatenate(
-            [jnp.zeros((1, x.shape[1]), jnp.uint8), x[:-1]], axis=0)
-        for c in range(q):
-            out_ref[c * 360:(c + 1) * 360, :] = (
-                out_ref[c * 360:(c + 1) * 360, :] ^ row_excl)
-
-    grid = (f_total // f_tile,)
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((plen, f_total), jnp.uint8),
-        grid=grid,
-        in_specs=[pl.BlockSpec((nbch, f_tile), lambda i: (0, i),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((plen, f_tile), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
-    )
 
 
 def main():
     f = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
-    cfg = vv009_config()
+    name = sys.argv[2] if len(sys.argv) > 2 else "vv009_4kshort"
+    cfg = _named_config(name)
     q, plen, nbch = cfg.q_ldpc, cfg.ldpc_parity_bits, cfg.nbch
     cols_sched = qc_entries(cfg.frame_size, cfg.code_rate, q)
     rows = nbch // 360
@@ -97,24 +53,14 @@ def main():
             [jnp.zeros((f, 1), jnp.uint8), row_inc[:, :-1]], axis=1)
         return (incl ^ row_excl[:, :, None]).reshape(f, plen)
 
-    pk = make_pallas_ldpc(cols_sched, nbch, plen, q, f)
-
-    def _undo(out, fdim):
-        # out block c row m = parity bit m*q + c
-        return out.reshape(q, 360, fdim).transpose(1, 0, 2).reshape(plen,
-                                                                    fdim)
-
     def pallas_path(nbb):
-        return _undo(pk(nbb.T), f).T
-
-    def pallas_path_pretransposed(nbt):
-        return _undo(pk(nbt), f)
+        out = qc_ldpc_parity_pallas(cols_sched, nbch, plen, q, nbb)
+        assert out is not None, "kernel declined (no VMEM tile fits)"
+        return out
 
     a, _ = bench("xla slice-schedule", xla_path, nb)
-    b, _ = bench("pallas (incl. transposes)", pallas_path, nb)
-    c, _ = bench("pallas (pre-transposed)", pallas_path_pretransposed, nb.T)
-    print("equal:", bool(jnp.array_equal(a, b)),
-          bool(jnp.array_equal(jnp.asarray(a).T, c)), flush=True)
+    b, _ = bench("pallas kernel", pallas_path, nb)
+    print("equal:", bool(jnp.array_equal(a, b)), flush=True)
 
 
 if __name__ == "__main__":

@@ -5,7 +5,6 @@ the axon tunnel, where block_until_ready returns early) to rank hot spots.
 Usage: python tools/profile_stages.py [batch] [iters]
 """
 import sys
-import time
 
 from _common import bench, fence  # noqa: F401  (adds repo root to sys.path)
 
