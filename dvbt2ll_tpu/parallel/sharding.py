@@ -118,11 +118,14 @@ class ShardedTransmitter:
         shard_map = getattr(jax, "shard_map", None)
         if shard_map is None:  # pre-0.8 JAX
             from jax.experimental.shard_map import shard_map
+        # check_vma=False: the map is embarrassingly parallel (no
+        # collectives), and pallas_call out_shapes carry no vma metadata
         self._sharded = jax.jit(shard_map(
             shard_fn, mesh=mesh,
             in_specs=tuple([P("mux", "frame", None)] * n_plp
                            + [P("mux", "frame")]),
             out_specs=P("mux", "frame", None, None, None),
+            check_vma=False,
         ))
 
     def step_device(self, ts_bytes) -> jax.Array:
