@@ -33,11 +33,13 @@ def _plp_consts(pp: PlpPlan):
         c = {
             "headers": np.asarray(pp.headers, np.uint8),
             "crc_matrix": np.asarray(pp.crc_matrix, np.int8),
+            # crc_scatter is not on the hot path (the packet-aligned
+            # column concat replaced it) but stays for the A/B evidence
+            # scripts in tools/
             "crc_scatter": np.asarray(pp.crc_scatter, np.int32),
             "scramble": np.asarray(pp.scramble, np.uint8),
             "bch_matrix": np.asarray(pp.bch_matrix, np.int8),
             "mapper_perm": np.asarray(pp.mapper_perm, np.int32),
-            "qam": np.asarray(pp.qam, np.complex64),
             "ti_perm": np.asarray(pp.ti_perm, np.int32),
             "inband": (None if pp.bb.inband_bits is None
                        else np.asarray(pp.bb.inband_bits, np.uint8)),

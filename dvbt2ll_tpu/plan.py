@@ -4,11 +4,13 @@ The reference implementation recomputes tables per block and walks the data
 byte-by-byte (see SURVEY.md section 3.2).  Here the entire chain is composed
 host-side into a handful of dense constants so the device graph is:
 
-    unpack bits -> gather -> GF(2) matmul (CRC) -> scatter -> XOR (scramble)
-    -> GF(2) matmul (BCH) -> gather+reduce+cumsum (LDPC)
-    -> gather (bit interleave) -> pack -> LUT take (QAM)
-    -> gather (cell/time interleave)
-    -> gather (zigzag+frequency interleave+carrier placement) + pilot plane
+    packet-row unpack -> GF(2) matmul (packet CRC) -> column concat
+    -> XOR (scramble) -> GF(2) matmul (BCH)
+    -> quasi-cyclic roll schedule + factored prefix-XOR scan (LDPC;
+       a VMEM-resident Pallas kernel on TPU)
+    -> gather (bit interleave) -> integer gray map + rotation + Q-roll
+    -> ONE gather (cell/time ilv o zigzag o freq ilv o carrier placement,
+       all composed into grid_src) + pilot plane
     -> batched IFFT -> guard-interval slice -> P1 concat
 """
 from __future__ import annotations
@@ -22,7 +24,6 @@ from .config import T2Config
 from .tables import cell_interleaver, freq_interleaver
 from .tables.bbframe import BBFramePlan
 from .tables.bch import parity_matrix
-from .tables.constellations import qam_lut
 from .tables.l1 import l1post_cells_all_frames, l1pre_cells
 from .tables.ldpc import qc_entries
 from .tables.mapper import bit_permutation
@@ -109,7 +110,6 @@ class PlpPlan:
     # 2.1x normal) and compiles faster there too
     ldpc_cols: tuple = field(repr=False, default=None)
     mapper_perm: np.ndarray = field(repr=False, default=None)    # (N,) i32
-    qam: np.ndarray = field(repr=False, default=None)            # (2^mod,) c64
     ti_perm: np.ndarray = field(repr=False, default=None)        # (stream,) i32
 
     @property
@@ -192,7 +192,6 @@ def _build_plp_plan(cfg_plp: T2Config, batch_frames: int,
     pp.ldpc_cols = qc_entries(cfg_plp.frame_size, cfg_plp.code_rate,
                               cfg_plp.q_ldpc)
     pp.mapper_perm = bit_permutation(cfg_plp)
-    pp.qam = qam_lut(cfg_plp.constellation, bool(cfg_plp.rotation))
     pp.ti_perm = cell_interleaver.interleaver_permutation(cfg_plp)
     return pp
 
