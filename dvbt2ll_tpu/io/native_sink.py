@@ -70,6 +70,8 @@ class NativeIQSink:
 
     def __init__(self, path: str = None, fd: int = -1, gain: float = 1.0,
                  ring_samples: int = 1 << 24):
+        if path is None and fd < 0:
+            raise ValueError("NativeIQSink needs a path or a valid fd")
         self._lib = _load()
         self._h = self._lib.iq_sink_create(
             path.encode() if path else None, int(fd),

@@ -34,6 +34,19 @@ from ..pipeline import _consts, transmit_step_iq
 from ..plan import TransmitPlan, build_plan
 
 
+def _shard_map(fn, mesh, in_specs, out_specs, check=True):
+    """shard_map across JAX versions: jax.shard_map (>=0.8) spells the
+    replication-check kwarg ``check_vma``; the jax.experimental fallback
+    spells it ``check_rep``."""
+    sm = getattr(jax, "shard_map", None)
+    if sm is not None:
+        kw = {} if check else {"check_vma": False}
+    else:
+        from jax.experimental.shard_map import shard_map as sm
+        kw = {} if check else {"check_rep": False}
+    return sm(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs, **kw)
+
+
 def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
               mux: int = 1, frame: Optional[int] = None) -> Mesh:
     """A (mux, frame) mesh over the given devices."""
@@ -115,17 +128,15 @@ class ShardedTransmitter:
             locals_ = tuple(w[:, 0] for w in windows)
             return jax.vmap(one_mux)(locals_, frame_idx0[:, 0])[:, None]
 
-        shard_map = getattr(jax, "shard_map", None)
-        if shard_map is None:  # pre-0.8 JAX
-            from jax.experimental.shard_map import shard_map
-        # check_vma=False: the map is embarrassingly parallel (no
-        # collectives), and pallas_call out_shapes carry no vma metadata
-        self._sharded = jax.jit(shard_map(
+        # check=False: the map is embarrassingly parallel (no collectives),
+        # and pallas_call out_shapes carry no vma metadata
+        self._in_specs = tuple([P("mux", "frame", None)] * n_plp
+                               + [P("mux", "frame")])
+        self._sharded = jax.jit(_shard_map(
             shard_fn, mesh=mesh,
-            in_specs=tuple([P("mux", "frame", None)] * n_plp
-                           + [P("mux", "frame")]),
+            in_specs=self._in_specs,
             out_specs=P("mux", "frame", None, None, None),
-            check_vma=False,
+            check=False,
         ))
 
     def step_device(self, ts_bytes) -> jax.Array:
@@ -142,8 +153,8 @@ class ShardedTransmitter:
             s = np.asarray(s, dtype=np.uint8)
             assert s.shape == (self.n_mux,
                                pp.ts_bytes_in * self.frame_shards), s.shape
-            windows.append(jnp.asarray(
-                halo_windows(s, self._carries[:, i], self.frame_shards)))
+            w = halo_windows(s, self._carries[:, i], self.frame_shards)
+            windows.append(self._mesh_put(w, self._in_specs[i]))
             self._carries[:, i] = s[:, -187:]
         # T2 frame index of the first frame of each shard; keep the step
         # counter bounded so the int32 device cast can never wrap (the
@@ -156,7 +167,24 @@ class ShardedTransmitter:
         fidx = np.broadcast_to(fidx[None], (self.n_mux, self.frame_shards))
         self._step_no += 1
         with jax.default_device(self._mesh_dev):
-            return self._sharded(*windows, jnp.asarray(fidx, jnp.int32))
+            return self._sharded(
+                *windows,
+                self._mesh_put(fidx.astype(np.int32), self._in_specs[-1]))
+
+    def _mesh_put(self, arr: np.ndarray, spec) -> jax.Array:
+        """Host numpy -> device array laid out for the mesh.
+
+        Multi-process (jax.distributed over DCN, SURVEY.md section 5.8):
+        every host holds the full input; make_array_from_callback
+        materializes only this process's addressable shards, so the global
+        array is assembled without any cross-host transfer.  The hot path
+        itself stays collective-free either way."""
+        if jax.process_count() > 1:
+            sharding = jax.sharding.NamedSharding(self.mesh, spec)
+            return jax.make_array_from_callback(
+                arr.shape, sharding, lambda idx: arr[idx])
+        with jax.default_device(self._mesh_dev):
+            return jnp.asarray(arr)
 
     def __call__(self, ts_bytes: np.ndarray) -> np.ndarray:
         """Returns complex64 (n_mux, frames_per_step, samples_per_frame)."""
@@ -219,9 +247,6 @@ def grids_symbol_sharded(plan: TransmitPlan, mesh: Mesh, axis: str = "frame"):
 
     cfg = plan.cfg
     _consts(plan)
-    shard_map = getattr(jax, "shard_map", None)
-    if shard_map is None:  # pre-0.8 JAX
-        from jax.experimental.shard_map import shard_map
     n = mesh.shape[axis]
     fft, gi, s = cfg.fft_points, cfg.guard_samples, cfg.num_symbols
     scale = np.complex64(fft * cfg.ofdm_normalization)
@@ -235,8 +260,8 @@ def grids_symbol_sharded(plan: TransmitPlan, mesh: Mesh, axis: str = "frame"):
         return jnp.concatenate([t[..., fft - gi:], t], axis=-1)
 
     spec = {"mux": P(None, axis, None), "frame": P(None, axis, None)}[axis]
-    sharded_ifft = shard_map(local_ifft_gi, mesh=mesh,
-                             in_specs=spec, out_specs=spec)
+    sharded_ifft = _shard_map(local_ifft_gi, mesh=mesh,
+                              in_specs=spec, out_specs=spec)
 
     def fn(ts_padded, frame_idx0):
         payloads = []

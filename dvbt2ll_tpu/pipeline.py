@@ -338,7 +338,9 @@ class Transmitter:
             # use_pallas=False explicitly to run a TPU-built transmitter
             # on CPU)
             d = jax.config.jax_default_device or jax.devices()[0]
-            use_pallas = d.platform not in ("cpu", "gpu", "cuda", "rocm")
+            # recent JAX also accepts platform strings for default_device
+            platform = d if isinstance(d, str) else d.platform
+            use_pallas = platform not in ("cpu", "gpu", "cuda", "rocm")
         for pp in self.plan.plps:
             pp.use_pallas = use_pallas
         self._carries = [np.zeros(187, dtype=np.uint8)

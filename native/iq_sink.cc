@@ -101,6 +101,7 @@ extern "C" {
 // ring_floats is rounded up to a power of two.  fd < 0 opens `path`.
 void* iq_sink_create(const char* path, int fd, uint64_t ring_floats,
                      float gain) {
+  if (fd < 0 && path == nullptr) return nullptr;  // nothing to write to
   Sink* s = new Sink();
   s->capacity = next_pow2(ring_floats < 1024 ? 1024 : ring_floats);
   s->buf = static_cast<float*>(malloc(s->capacity * sizeof(float)));
