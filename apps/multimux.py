@@ -50,6 +50,7 @@ def main():
     cfg = vv009_config()
     stx = ShardedTransmitter(cfg, mesh, n_mux=args.mux,
                              frames_per_shard=args.frames_per_shard,
+                             allow_phase_drift=True,
                              strict=False)
     nbytes = stx.bytes_per_step_per_mux
     print(f"mesh={dict(mesh.shape)} muxes={args.mux} "

@@ -59,20 +59,20 @@ def main():
         sink_cls = IQFileSink
     with sink_cls(args.output, gain=args.gain) as sink:
         if args.stdin:
+            import numpy as np
             from dvbt2ll_tpu.io.ingest import TSIngest
             with TSIngest(fd=sys.stdin.fileno()) as ing:
-                import jax.numpy as jnp
                 while True:
                     if ing.pump(1 << 20) < 0 and ing.available < 188:
                         break
-                    w = ing.window(n)
-                    iq = tx._step(jnp.asarray(w), jnp.int32(tx._frame_idx))
-                    tx._frame_idx = ((tx._frame_idx + tx.plan.batch_frames)
-                                     % cfg.t2_frames)
-                    import numpy as np
+                    # the native ring keeps the 187-byte carry itself; feed
+                    # its pre-carried window through the public API
+                    iq = tx.step_window(ing.window(n))
                     sink.write(np.asarray(iq).reshape(args.batch, -1)
                                .view(np.complex64))
                 print("ingest stats:", ing.stats)
+                c = tx.counters
+                print(f"emitted {c.frames} T2 frames, {c.samples} samples")
         else:
             src = TSFileSource(args.ts) if args.ts else None
             steps = -(-args.frames // args.batch)

@@ -53,9 +53,14 @@ class StreamingExecutor:
         """Enqueue one device step, return the PREVIOUS step's IQ (None on
         the first call) - the overlap window."""
         streams = self._read_step_input()
-        prev = self._drain()
         ts = streams if len(streams) > 1 else streams[0]
-        self._pending = self.tx.step_device(ts)
+        # enqueue step N BEFORE draining step N-1: XLA dispatch is async,
+        # so the blocking device->host fetch of N-1 overlaps with N's
+        # compute instead of leaving the device idle (measured A/B in
+        # BENCH.md "Executor overlap")
+        pending = self.tx.step_device(ts)
+        prev = self._drain()
+        self._pending = pending
         if prev is not None and self.sink is not None:
             self.sink.write(prev)
         return prev

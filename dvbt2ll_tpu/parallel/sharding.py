@@ -85,7 +85,8 @@ class ShardedTransmitter:
 
     def __init__(self, cfg: T2Config, mesh: Mesh, n_mux: int = 1,
                  frames_per_shard: Optional[int] = None,
-                 strict: bool = True, use_pallas: Optional[bool] = None):
+                 strict: bool = True, use_pallas: Optional[bool] = None,
+                 allow_phase_drift: bool = False):
         self.cfg = cfg
         self.mesh = mesh
         self.n_mux = n_mux
@@ -95,6 +96,20 @@ class ShardedTransmitter:
             raise ValueError("n_mux must divide over the mux axis")
         # each shard runs an independent plan instance of this many frames
         self.plan = build_plan(cfg, frames_per_shard, strict=strict)
+        self._allow_phase_drift = allow_phase_drift
+        if (frame_shards > 1 and not allow_phase_drift
+                and not all(pp.bb.phase_invariant for pp in self.plan.plps)):
+            # shard s>0's halo window starts s*per bytes into the stream;
+            # unless per is a whole number of TS packets, that shard's
+            # static phase-0 plan mislabels sync/CRC slots on the VERY
+            # FIRST step - refuse rather than emit an invalid stream
+            raise ValueError(
+                "frame sharding needs a phase-invariant per-shard plan "
+                "(per-shard TS payload a multiple of 188); use "
+                "frames_per_shard=min_batch_frames(cfg), or pass "
+                "allow_phase_drift=True to treat every shard window as an "
+                "independent phase-0 stream (NOT a valid continuous "
+                "DVB-T2 stream)")
         if use_pallas is None:
             # Pallas kernels only when the mesh devices are TPUs
             use_pallas = (np.asarray(mesh.devices).flat[0].platform
@@ -145,6 +160,15 @@ class ShardedTransmitter:
         (one per PLP, sized n_mux x bytes_per_step_per_mux_per_plp[i]).
         Returns float32 (n_mux, frame_shards, B_local, samples, 2)."""
         cfg = self.cfg
+        if (self._step_no and not self._allow_phase_drift
+                and not all(pp.bb.phase_invariant
+                            for pp in self.plan.plps)):
+            raise RuntimeError(
+                "this plan is single-shot: its per-shard step payload is "
+                "not a multiple of the TS packet length, so a second step "
+                "would start at a drifted packet phase; build with "
+                "frames_per_shard=min_batch_frames(cfg) for streaming, or "
+                "pass allow_phase_drift=True for mechanism tests/benches")
         streams = (list(ts_bytes) if isinstance(ts_bytes, (list, tuple))
                    else [ts_bytes])
         assert len(streams) == len(self.plan.plps)

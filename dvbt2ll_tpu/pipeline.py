@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import T2Config
-from .plan import PlpPlan, TransmitPlan, build_plan
+from .plan import PlpPlan, TransmitPlan, build_plan, min_batch_frames
 
 
 def _plp_consts(pp: PlpPlan):
@@ -33,10 +33,6 @@ def _plp_consts(pp: PlpPlan):
         c = {
             "headers": np.asarray(pp.headers, np.uint8),
             "crc_matrix": np.asarray(pp.crc_matrix, np.int8),
-            # crc_scatter is not on the hot path (the packet-aligned
-            # column concat replaced it) but stays for the A/B evidence
-            # scripts in tools/
-            "crc_scatter": np.asarray(pp.crc_scatter, np.int32),
             "scramble": np.asarray(pp.scramble, np.uint8),
             "bch_matrix": np.asarray(pp.bch_matrix, np.int8),
             "mapper_perm": np.asarray(pp.mapper_perm, np.int32),
@@ -326,7 +322,8 @@ class Transmitter:
 
     def __init__(self, cfg: T2Config, batch_frames: Optional[int] = None,
                  strict: bool = True, validate_ts: bool = False,
-                 use_pallas: Optional[bool] = None):
+                 use_pallas: Optional[bool] = None,
+                 allow_phase_drift: bool = False):
         from .observability import TxCounters
 
         self.cfg = cfg
@@ -346,6 +343,10 @@ class Transmitter:
         self._carries = [np.zeros(187, dtype=np.uint8)
                          for _ in self.plan.plps]
         self._frame_idx = 0
+        self._steps_done = 0
+        self._phase_invariant = all(pp.bb.phase_invariant
+                                    for pp in self.plan.plps)
+        self._allow_phase_drift = allow_phase_drift
         self._validate_ts = validate_ts
         self.counters = TxCounters()
         for pp in self.plan.plps:
@@ -362,37 +363,82 @@ class Transmitter:
     def bytes_per_step_per_plp(self) -> tuple:
         return self.plan.ts_bytes_per_plp
 
+    def _check_streamable(self) -> None:
+        """Non-strict plans whose step payload is not a whole number of TS
+        packets would start step 2 at a drifted packet phase and silently
+        emit wrong BB headers / CRC positions - refuse instead (the
+        reference's stream state, lib/bbheaderbch_bb_impl.cc:661-732, is
+        resolved statically here and only phase-0 step starts are planned).
+
+        allow_phase_drift=True opts out EXPLICITLY: every step is then
+        treated as an independent phase-0 stream (mechanism tests and
+        throughput benchmarks) - the concatenated output is NOT a valid
+        continuous DVB-T2 stream for the given TS input.
+        """
+        if (self._steps_done and not self._phase_invariant
+                and not self._allow_phase_drift):
+            raise RuntimeError(
+                f"this plan is single-shot: its step payload is not a "
+                f"multiple of the TS packet length, so a second step would "
+                f"start at a drifted packet phase and emit wrong BB "
+                f"headers; build with strict=True or batch_frames="
+                f"min_batch_frames(cfg) (= {min_batch_frames(self.cfg)}) "
+                f"for streaming")
+
+    def step_window(self, windows) -> jax.Array:
+        """One step from pre-carried (187 + fresh) byte windows - the public
+        entry for external carry keepers like the native TS ingest ring
+        (``TSIngest.window``).  Updates the stream state (carry, frame
+        counter, counters) exactly like :meth:`step_device`.
+
+        windows: (187 + bytes_per_step,) uint8 for single PLP, or a
+        sequence of per-PLP windows.  Returns the float32 (B, samples, 2)
+        I/Q device array.
+        """
+        import time as _time
+
+        ws = (list(windows) if isinstance(windows, (list, tuple))
+              else [windows])
+        assert len(ws) == len(self.plan.plps)
+        self._check_streamable()
+        t0 = _time.perf_counter()
+        padded = []
+        nbytes = 0
+        for i, (pp, w) in enumerate(zip(self.plan.plps, ws)):
+            w = np.asarray(w, dtype=np.uint8)
+            assert w.shape == (187 + pp.ts_bytes_in,), (
+                w.shape, 187 + pp.ts_bytes_in)
+            if self._validate_ts:
+                from .observability import check_ts_sync
+                self.counters.sync_errors += check_ts_sync(w[187:])
+            self._carries[i] = w[-187:].copy()
+            padded.append(jnp.asarray(w))
+            nbytes += w.size - 187
+        out = self._step(padded if len(padded) > 1 else padded[0],
+                         jnp.int32(self._frame_idx))
+        self._frame_idx = (self._frame_idx
+                           + self.plan.batch_frames) % self.cfg.t2_frames
+        self._steps_done += 1
+        self.counters.record_step(
+            self.plan.batch_frames, self.plan.samples_out, nbytes,
+            _time.perf_counter() - t0)
+        return out
+
     def step_device(self, ts_bytes) -> jax.Array:
         """One step; returns the float32 (B, samples, 2) I/Q device array.
 
         ts_bytes: (bytes_per_step,) uint8 for single PLP, or a sequence of
         per-PLP arrays matching bytes_per_step_per_plp.
         """
-        import time as _time
-
         streams = (list(ts_bytes) if isinstance(ts_bytes, (list, tuple))
                    else [ts_bytes])
         assert len(streams) == len(self.plan.plps)
-        t0 = _time.perf_counter()
-        padded = []
-        nbytes = 0
+        windows = []
         for i, (pp, ts) in enumerate(zip(self.plan.plps, streams)):
             assert ts.shape == (pp.ts_bytes_in,), (ts.shape, pp.ts_bytes_in)
-            if self._validate_ts:
-                from .observability import check_ts_sync
-                self.counters.sync_errors += check_ts_sync(ts)
-            w = np.concatenate([self._carries[i], ts.astype(np.uint8)])
-            self._carries[i] = w[-187:].copy()
-            padded.append(jnp.asarray(w))
-            nbytes += ts.size
-        out = self._step(padded if len(padded) > 1 else padded[0],
-                         jnp.int32(self._frame_idx))
-        self._frame_idx = (self._frame_idx
-                           + self.plan.batch_frames) % self.cfg.t2_frames
-        self.counters.record_step(
-            self.plan.batch_frames, self.plan.samples_out, nbytes,
-            _time.perf_counter() - t0)
-        return out
+            windows.append(np.concatenate(
+                [self._carries[i], np.asarray(ts, dtype=np.uint8)]))
+        return self.step_window(windows if len(windows) > 1 else windows[0])
 
     def __call__(self, ts_bytes) -> np.ndarray:
         """Process one step of fresh TS bytes; returns complex64
@@ -407,6 +453,7 @@ class Transmitter:
         return {
             "carries": np.stack(self._carries).copy(),
             "frame_idx": self._frame_idx,
+            "steps_done": self._steps_done,
         }
 
     def load_state(self, state: dict) -> None:
@@ -414,6 +461,9 @@ class Transmitter:
         assert carries.shape == (len(self.plan.plps), 187)
         self._carries = [carries[i].copy() for i in range(carries.shape[0])]
         self._frame_idx = int(state["frame_idx"]) % self.cfg.t2_frames
+        # older checkpoints lack the step count; a resumed stream has
+        # stepped at least once, which is all _check_streamable needs
+        self._steps_done = int(state.get("steps_done", 1))
 
     def save(self, path: str) -> None:
         np.savez(path, **self.state_dict())

@@ -163,6 +163,7 @@ class BBFramePlan:
                     f"{total_payload} is not a multiple of 187")
             self.n_packets = total_payload // 187
             self.ts_bytes_in = total_payload + self.n_packets
+            self.phase_invariant = True  # whole packets enforced above
             self.sync_slots = np.zeros(0, dtype=np.int64)
             # count (input-stream packet phase) at each frame start
             p0 = offsets[:-1]
@@ -170,7 +171,11 @@ class BBFramePlan:
             frame_counts = np.where(rem == 0, 0, rem + 1)
         else:
             self.ts_bytes_in = total_payload
-            if strict and total_payload % 188 != 0:
+            # phase-invariant = step N+1 starts at packet phase 0 again, so
+            # the static headers / sync-slot layout hold for EVERY step; a
+            # non-invariant plan is single-shot (Transmitter refuses step 2)
+            self.phase_invariant = total_payload % 188 == 0
+            if strict and not self.phase_invariant:
                 raise ValueError(
                     f"step payload ({total_payload}) must be a multiple of "
                     f"188 for a phase-invariant plan; raise batch_frames")

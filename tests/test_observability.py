@@ -11,7 +11,7 @@ from dvbt2ll_tpu.pipeline import Transmitter
 
 def test_counters_accumulate():
     cfg = vv009_config()
-    tx = Transmitter(cfg, 1, strict=False)
+    tx = Transmitter(cfg, 1, strict=False, allow_phase_drift=True)
     ts = synthetic_ts(2 * tx.bytes_per_step, seed=71)
     tx(ts[: tx.bytes_per_step])
     tx(ts[tx.bytes_per_step :])
@@ -36,18 +36,18 @@ def test_sync_check_warns(caplog):
 def test_checkpoint_resume_bit_identical(tmp_path):
     cfg = vv009_config()
     n = None
-    tx_a = Transmitter(cfg, 1, strict=False)
+    tx_a = Transmitter(cfg, 1, strict=False, allow_phase_drift=True)
     ts = synthetic_ts(4 * tx_a.bytes_per_step, seed=73)
     n = tx_a.bytes_per_step
     out_ref = [tx_a(ts[i * n : (i + 1) * n]) for i in range(4)]
 
-    tx_b = Transmitter(cfg, 1, strict=False)
+    tx_b = Transmitter(cfg, 1, strict=False, allow_phase_drift=True)
     tx_b(ts[:n])
     tx_b(ts[n : 2 * n])
     ckpt = tmp_path / "tx_state.npz"
     tx_b.save(str(ckpt))
 
-    tx_c = Transmitter(cfg, 1, strict=False)
+    tx_c = Transmitter(cfg, 1, strict=False, allow_phase_drift=True)
     tx_c.restore(str(ckpt))
     out_c = [tx_c(ts[2 * n : 3 * n]), tx_c(ts[3 * n :])]
     assert np.array_equal(out_c[0], out_ref[2])

@@ -15,7 +15,7 @@ from dvbt2ll_tpu.plan import build_plan
 
 
 def _sequential(cfg, ts, n_steps, batch):
-    tx = Transmitter(cfg, batch, strict=False)
+    tx = Transmitter(cfg, batch, strict=False, allow_phase_drift=True)
     outs = [tx(ts[i * tx.bytes_per_step:(i + 1) * tx.bytes_per_step])
             for i in range(n_steps)]
     return np.concatenate(outs, axis=0)  # (n_steps*batch, samples)
@@ -24,7 +24,7 @@ def _sequential(cfg, ts, n_steps, batch):
 def test_frame_sharded_equals_sequential():
     cfg = vv009_config()
     mesh = make_mesh(jax.devices("cpu")[:8], mux=1)
-    stx = ShardedTransmitter(cfg, mesh, n_mux=1, frames_per_shard=1,
+    stx = ShardedTransmitter(cfg, mesh, n_mux=1, frames_per_shard=1, allow_phase_drift=True,
                              strict=False)
     ts = synthetic_ts(stx.bytes_per_step_per_mux, seed=21)
     sharded = stx(ts[None, :])[0]            # (8 frames, samples)
@@ -36,7 +36,7 @@ def test_frame_sharded_equals_sequential():
 def test_mux_and_frame_sharded_equals_sequential():
     cfg = vv009_config()
     mesh = make_mesh(jax.devices("cpu")[:8], mux=2)
-    stx = ShardedTransmitter(cfg, mesh, n_mux=2, frames_per_shard=1,
+    stx = ShardedTransmitter(cfg, mesh, n_mux=2, frames_per_shard=1, allow_phase_drift=True,
                              strict=False)
     nbytes = stx.bytes_per_step_per_mux
     ts = np.stack([synthetic_ts(nbytes, seed=22), synthetic_ts(nbytes, seed=23)])
@@ -50,7 +50,7 @@ def test_frame_sharded_streaming_carry():
     """The halo carry must hold across sharded steps too."""
     cfg = vv009_config()
     mesh = make_mesh(jax.devices("cpu")[:4], mux=1)
-    stx = ShardedTransmitter(cfg, mesh, n_mux=1, frames_per_shard=1,
+    stx = ShardedTransmitter(cfg, mesh, n_mux=1, frames_per_shard=1, allow_phase_drift=True,
                              strict=False)
     n = stx.bytes_per_step_per_mux
     ts = synthetic_ts(2 * n, seed=24)
@@ -69,7 +69,7 @@ def test_symbol_sharded_modulate_matches():
     padded = np.concatenate([np.zeros(187, np.uint8), ts])
     import jax.numpy as jnp
     sharded = np.asarray(fn(jnp.asarray(padded), jnp.int32(0)))
-    tx = Transmitter(cfg, 1, strict=False)
+    tx = Transmitter(cfg, 1, strict=False, allow_phase_drift=True)
     ref = np.asarray(tx.step_device(ts))
     assert np.array_equal(sharded, ref)
 
@@ -80,13 +80,13 @@ def test_multi_plp_sharded_equals_sequential():
     from tests.test_multiplp_fef import _mixed_plp_cfg
     cfg = _mixed_plp_cfg()
     mesh = make_mesh(jax.devices("cpu")[:4], mux=1)
-    stx = ShardedTransmitter(cfg, mesh, n_mux=1, frames_per_shard=1,
+    stx = ShardedTransmitter(cfg, mesh, n_mux=1, frames_per_shard=1, allow_phase_drift=True,
                              strict=False)
     nb = stx.bytes_per_step_per_mux_per_plp
     ts = [synthetic_ts(nb[0], seed=26)[None], synthetic_ts(nb[1], seed=27)[None]]
     sharded = stx(ts)[0]                       # (4 frames, samples)
 
-    tx = Transmitter(cfg, 1, strict=False)
+    tx = Transmitter(cfg, 1, strict=False, allow_phase_drift=True)
     per = tx.bytes_per_step_per_plp
     outs = []
     for i in range(4):
@@ -100,7 +100,7 @@ def test_sharded_checkpoint_resume():
     """Restoring state_dict must reproduce the exact same output stream."""
     cfg = vv009_config()
     mesh = make_mesh(jax.devices("cpu")[:4], mux=1)
-    stx = ShardedTransmitter(cfg, mesh, n_mux=1, frames_per_shard=1,
+    stx = ShardedTransmitter(cfg, mesh, n_mux=1, frames_per_shard=1, allow_phase_drift=True,
                              strict=False)
     n = stx.bytes_per_step_per_mux
     ts = synthetic_ts(3 * n, seed=30)
@@ -109,7 +109,7 @@ def test_sharded_checkpoint_resume():
     a = stx(ts[None, n:2 * n])
     b = stx(ts[None, 2 * n:])
 
-    stx2 = ShardedTransmitter(cfg, mesh, n_mux=1, frames_per_shard=1,
+    stx2 = ShardedTransmitter(cfg, mesh, n_mux=1, frames_per_shard=1, allow_phase_drift=True,
                               strict=False)
     stx2.load_state(snap)
     a2 = stx2(ts[None, n:2 * n])
@@ -123,12 +123,12 @@ def test_sharded_fef_stream_matches_sequential():
     cfg = dataclasses.replace(vv009_config(), fef_length=4096,
                               fef_interval=2).validate()
     mesh = make_mesh(jax.devices("cpu")[:4], mux=1)
-    stx = ShardedTransmitter(cfg, mesh, n_mux=1, frames_per_shard=1,
+    stx = ShardedTransmitter(cfg, mesh, n_mux=1, frames_per_shard=1, allow_phase_drift=True,
                              strict=False)
     ts = synthetic_ts(stx.bytes_per_step_per_mux, seed=33)
     sharded = stx.stream(ts[None])[0]
 
-    tx = Transmitter(cfg, 1, strict=False)
+    tx = Transmitter(cfg, 1, strict=False, allow_phase_drift=True)
     n = tx.bytes_per_step
     seq = np.concatenate([tx.stream(ts[i * n:(i + 1) * n])
                           for i in range(4)])

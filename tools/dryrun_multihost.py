@@ -62,7 +62,7 @@ def _run_step(mesh_devices, n_mux=2):
 
     cfg = vv009_config()
     mesh = make_mesh(mesh_devices, mux=n_mux)
-    stx = ShardedTransmitter(cfg, mesh, n_mux=n_mux, frames_per_shard=1,
+    stx = ShardedTransmitter(cfg, mesh, n_mux=n_mux, frames_per_shard=1, allow_phase_drift=True,
                              strict=False, use_pallas=False)
     ts = np.stack([synthetic_ts(stx.bytes_per_step_per_mux, seed=TS_SEED + c)
                    for c in range(n_mux)])
