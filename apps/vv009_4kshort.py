@@ -28,8 +28,9 @@ def main():
                     help="read TS from stdin through the native ingest ring")
     ap.add_argument("--frames", type=int, default=20,
                     help="T2 frames to emit (ignored with --stdin: runs to EOF)")
-    ap.add_argument("--batch", type=int, default=2,
-                    help="T2 frames per jitted step")
+    ap.add_argument("--batch", type=int, default=None,
+                    help="T2 frames per jitted step (default: the smallest "
+                         "phase-invariant batch, 47 for vv009)")
     ap.add_argument("--gain", type=float, default=0.2)
     ap.add_argument("--native-sink", action="store_true",
                     help="write output through the C++ async sink thread "
@@ -47,9 +48,18 @@ def main():
     from dvbt2ll_tpu.io import TSFileSource, synthetic_ts
     from dvbt2ll_tpu.io.sink import IQFileSink
     from dvbt2ll_tpu.pipeline import Transmitter
+    from dvbt2ll_tpu.plan import min_batch_frames
 
     cfg = vv009_config()
-    tx = Transmitter(cfg, args.batch, strict=False, validate_ts=True)
+    batch = args.batch if args.batch is not None else min_batch_frames(cfg)
+    drift = batch % min_batch_frames(cfg) != 0
+    if drift:
+        print(f"warning: batch {batch} is not a multiple of "
+              f"{min_batch_frames(cfg)}; every step restarts at TS packet "
+              f"phase 0, so the concatenated output is NOT a valid "
+              f"continuous DVB-T2 stream", file=sys.stderr)
+    tx = Transmitter(cfg, batch, strict=not drift, validate_ts=True,
+                     allow_phase_drift=drift)
     n = tx.bytes_per_step
 
     if args.native_sink:
@@ -68,14 +78,14 @@ def main():
                     # the native ring keeps the 187-byte carry itself; feed
                     # its pre-carried window through the public API
                     iq = tx.step_window(ing.window(n))
-                    sink.write(np.asarray(iq).reshape(args.batch, -1)
+                    sink.write(np.asarray(iq).reshape(batch, -1)
                                .view(np.complex64))
                 print("ingest stats:", ing.stats)
                 c = tx.counters
                 print(f"emitted {c.frames} T2 frames, {c.samples} samples")
         else:
             src = TSFileSource(args.ts) if args.ts else None
-            steps = -(-args.frames // args.batch)
+            steps = -(-args.frames // batch)
             t0 = time.time()
             t_warm = None  # timestamp after the first (compiling) step
             for i in range(steps):

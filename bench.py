@@ -18,11 +18,14 @@ import time
 
 
 def _named_config(name):
-    """BASELINE.json config matrix by name (default: the reference app)."""
+    """Named config registry: the BASELINE.json matrix (first three) plus
+    the reference-golden mode/MISO matrix (tools/gen_reference_golden.py,
+    tests/test_reference_golden.py)."""
     from dvbt2ll_tpu.config import (CarrierMode, CodeRate, Constellation,
                                     FFTSize, FrameSize, GuardInterval,
-                                    PilotPattern, Rotation, T2Config,
-                                    vv009_config)
+                                    InBand, InputMode, L1Constellation,
+                                    MisoGroup, PAPR, PilotPattern, Preamble,
+                                    Rotation, T2Config, vv009_config)
     if name == "vv009_4kshort":
         return vv009_config()
     if name == "8k_normal":
@@ -39,6 +42,54 @@ def _named_config(name):
             fft_size=FFTSize.FFT_32K, guard_interval=GuardInterval.GI_1_32,
             pilot_pattern=PilotPattern.PP7, carrier_mode=CarrierMode.EXTENDED,
             fec_blocks=4, ti_blocks=2, t2_frames=2,
+            num_data_symbols=4).validate()
+    # --- reference-golden mode/MISO matrix (each pins a reference work-
+    # loop branch the BASELINE trio never takes) ---------------------------
+    # NOTE: the reference's ldpc_lookup_generate (lib/bbheaderbch_bb_impl.cc
+    # :569-623) heap-overflows for SHORT C1_2/C3_4/C5_6 (verified with ASan;
+    # its example app never constructs those), so the golden matrix sticks
+    # to ctor-safe rates.  The TPU framework itself covers all 14 configs
+    # against the numpy oracle (tests/test_fec.py).
+    if name == "hieff_4k":
+        # HIEFF sync removal, lib/bbheaderbch_bb_impl.cc:671-688; NORMAL
+        # C4_5 because 17 x 6446 payload bytes = whole 187-byte packets
+        return T2Config(
+            frame_size=FrameSize.NORMAL, code_rate=CodeRate.C4_5,
+            constellation=Constellation.QAM256, rotation=Rotation.ON,
+            fft_size=FFTSize.FFT_4K, guard_interval=GuardInterval.GI_1_32,
+            pilot_pattern=PilotPattern.PP7, fec_blocks=1, ti_blocks=1,
+            t2_frames=2, num_data_symbols=3,
+            input_mode=InputMode.HIEFF).validate()
+    if name == "inband_2k":
+        # in-band type B, lib/bbheaderbch_bb_impl.cc:327-355,690-693
+        return T2Config(
+            frame_size=FrameSize.SHORT, code_rate=CodeRate.C4_5,
+            constellation=Constellation.QPSK, rotation=Rotation.OFF,
+            fft_size=FFTSize.FFT_2K, guard_interval=GuardInterval.GI_1_8,
+            pilot_pattern=PilotPattern.PP1, fec_blocks=2, ti_blocks=1,
+            t2_frames=2, num_data_symbols=8,
+            l1_constellation=L1Constellation.BPSK,
+            in_band=InBand.ON, ts_rate=4_000_000).validate()
+    if name in ("8k_miso_tx1", "8k_miso_tx2"):
+        # MISO pilot branches, lib/pilotgenp1insert_cc_impl.cc:668-926
+        return T2Config(
+            frame_size=FrameSize.NORMAL, code_rate=CodeRate.C2_3,
+            constellation=Constellation.QAM64, rotation=Rotation.OFF,
+            fft_size=FFTSize.FFT_8K, guard_interval=GuardInterval.GI_1_16,
+            pilot_pattern=PilotPattern.PP3, carrier_mode=CarrierMode.EXTENDED,
+            preamble=Preamble.T2_MISO,
+            miso_group=(MisoGroup.TX1 if name.endswith("tx1")
+                        else MisoGroup.TX2),
+            fec_blocks=2, ti_blocks=1, t2_frames=2,
+            num_data_symbols=8).validate()
+    if name == "32k_papr_tr":
+        # TR-PAPR reserved tones, lib/pilotgenp1insert_cc_impl.cc:2739-2781
+        return T2Config(
+            frame_size=FrameSize.NORMAL, code_rate=CodeRate.C4_5,
+            constellation=Constellation.QAM256, rotation=Rotation.ON,
+            fft_size=FFTSize.FFT_32K, guard_interval=GuardInterval.GI_1_32,
+            pilot_pattern=PilotPattern.PP7, carrier_mode=CarrierMode.EXTENDED,
+            papr=PAPR.TR, fec_blocks=4, ti_blocks=2, t2_frames=2,
             num_data_symbols=4).validate()
     raise SystemExit(f"unknown config {name!r}")
 

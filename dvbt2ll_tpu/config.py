@@ -750,6 +750,13 @@ class T2Config:
                 raise ValueError("fef_length must cover at least the FEF P1")
             if self.fef_length >= 1 << 24:
                 raise ValueError("fef_length exceeds 24-bit L1 field")
+            # the 2 MSBs ride in FEF_LENGTH_MSB, a V1.3.1-only L1-post
+            # field (tables/l1.py); earlier versions can signal 22 bits
+            if self.version != Version.V131 and self.fef_length >= 1 << 22:
+                raise ValueError(
+                    "fef_length needs the FEF_LENGTH_MSB bits, which only "
+                    "T2 version 1.3.1 signals; use version=Version.V131 "
+                    "or fef_length < 2**22")
             if not 1 <= self.fef_interval <= 255:
                 raise ValueError("fef_interval must be in 1..255")
             if self.t2_frames % self.fef_interval:

@@ -56,9 +56,18 @@ class StreamingExecutor:
         ts = streams if len(streams) > 1 else streams[0]
         # enqueue step N BEFORE draining step N-1: XLA dispatch is async,
         # so the blocking device->host fetch of N-1 overlaps with N's
-        # compute instead of leaving the device idle (measured A/B in
-        # BENCH.md "Executor overlap")
-        pending = self.tx.step_device(ts)
+        # compute instead of leaving the device idle.  Measured A/B
+        # (tools/profile_overlap.py, BENCH.md "Executor overlap"): through
+        # the axon dev tunnel the fetch (~45 ms/MB) dwarfs compute
+        # (~0.06 ms/MB) so the gain there is within noise (0.95-1.0x); the
+        # order is kept because it is never worse and hides min(compute,
+        # fetch) on hardware-attached deployments.
+        try:
+            pending = self.tx.step_device(ts)
+        except Exception:
+            # don't lose the already-computed step N-1 held in _pending
+            self.flush()
+            raise
         prev = self._drain()
         self._pending = pending
         if prev is not None and self.sink is not None:

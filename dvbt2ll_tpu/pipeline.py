@@ -67,8 +67,9 @@ def _consts(plan: TransmitPlan):
 def bb_and_fec(pp: PlpPlan, ts_padded: jnp.ndarray) -> jnp.ndarray:
     """TS bytes (187 carry + fresh) -> LDPC frame bits (F, frame_bits) u8.
 
-    The TS->DF byte map is affine (packet phase 0 at the step start), so
-    this is all reshapes and static slices - no per-frame gather tables
+    The TS->DF byte map is affine (the packet phase at the step start is
+    static, BBFramePlan.start_phase), so this is all reshapes and static
+    slices - no per-frame gather tables
     (which would grow O(batch) and dwarf the data).  NORMAL mode replaces
     sync bytes with packet CRCs via one matmul + scatter; HIEFF mode drops
     the sync column of the packet-major reshape; in-band frames lose 104
@@ -89,21 +90,34 @@ def bb_and_fec(pp: PlpPlan, ts_padded: jnp.ndarray) -> jnp.ndarray:
         # payload = fresh packets with the sync column removed
         rows = jnp.unpackbits(ts_padded[187:].reshape(p, 188), axis=1)
         stream = rows[:, 8:].reshape(-1)
+    elif p == 0:
+        # window so short (or phase so late) that it contains no sync slot:
+        # the whole payload passes through unmodified
+        stream = jnp.unpackbits(ts_padded[187:])[: nfresh * 8]
     else:
-        fresh = jnp.pad(ts_padded[187:], (0, p * 188 - nfresh))
-        fresh_rows = jnp.unpackbits(fresh.reshape(p, 188), axis=1)  # (p,1504)
-        # packet body i = padded bytes [188*i, 188*i + 187): row 0 is the
-        # carry window, row i>0 is fresh row i-1 minus its sync slot - the
-        # SAME unpacked rows shifted by one, so one unpack feeds both the
-        # CRC inputs and the output stream
-        carry_bits = jnp.unpackbits(ts_padded[:187])
+        # o = fresh-stream index of the first sync slot: 0 for packet-
+        # aligned (phase-0) plans, (188 - start_phase) % 188 for drifted
+        # per-phase plans (BBFramePlan.start_phase)
+        o = bb.sync_offset
+        aligned = jnp.pad(ts_padded[187 + o:], (0, p * 188 - (nfresh - o)))
+        rows = jnp.unpackbits(aligned.reshape(p, 188), axis=1)  # (p,1504)
+        # sync slot i sits at fresh byte o + 188*i; its CRC covers the 187
+        # payload bytes before it, which for i=0 is padded[o : o+187] (the
+        # carry window tail) and for i>0 is aligned row i-1 minus its sync
+        # slot - the SAME unpacked rows shifted by one, so one unpack feeds
+        # both the CRC inputs and the output stream
+        ctx0 = jnp.unpackbits(ts_padded[o : o + 187])
         pkt = jnp.concatenate(
-            [carry_bits[None], fresh_rows[:-1, 8:]], axis=0).astype(jnp.int8)
+            [ctx0[None], rows[:-1, 8:]], axis=0).astype(jnp.int8)
         crc = (jnp.matmul(pkt, c["crc_matrix"],
                           preferred_element_type=jnp.int32) & 1
                ).astype(jnp.uint8)
-        stream = (jnp.concatenate([crc, fresh_rows[:, 8:]], axis=1)
-                  .reshape(-1)[: nfresh * 8])
+        groups = jnp.concatenate([crc, rows[:, 8:]], axis=1).reshape(-1)
+        if o:
+            head = jnp.unpackbits(ts_padded[187 : 187 + o])
+            stream = jnp.concatenate([head, groups])[: nfresh * 8]
+        else:
+            stream = groups[: nfresh * 8]
 
     if not bb.inband:
         df = stream.reshape(f, cfg.kbch - 80)
@@ -383,7 +397,9 @@ class Transmitter:
                 f"start at a drifted packet phase and emit wrong BB "
                 f"headers; build with strict=True or batch_frames="
                 f"min_batch_frames(cfg) (= {min_batch_frames(self.cfg)}) "
-                f"for streaming")
+                f"for streaming, or drive per-phase plans directly "
+                f"(build_plan(start_phases=bb.next_phase), one compile per "
+                f"distinct phase)")
 
     def step_window(self, windows) -> jax.Array:
         """One step from pre-carried (187 + fresh) byte windows - the public
@@ -461,9 +477,16 @@ class Transmitter:
         assert carries.shape == (len(self.plan.plps), 187)
         self._carries = [carries[i].copy() for i in range(carries.shape[0])]
         self._frame_idx = int(state["frame_idx"]) % self.cfg.t2_frames
-        # older checkpoints lack the step count; a resumed stream has
-        # stepped at least once, which is all _check_streamable needs
-        self._steps_done = int(state.get("steps_done", 1))
+        # older checkpoints lack the step count; infer it so a legacy
+        # checkpoint saved BEFORE any step (frame counter 0, all-zero
+        # carries) is not refused its legitimate first step by
+        # _check_streamable, while any post-step checkpoint counts as 1
+        if "steps_done" in state:
+            self._steps_done = int(state["steps_done"])
+        else:
+            fresh = (self._frame_idx == 0
+                     and all(not c.any() for c in self._carries))
+            self._steps_done = 0 if fresh else 1
 
     def save(self, path: str) -> None:
         np.savez(path, **self.state_dict())

@@ -174,10 +174,10 @@ def min_batch_frames(cfg: T2Config) -> int:
 
 
 def _build_plp_plan(cfg_plp: T2Config, batch_frames: int,
-                    strict: bool) -> PlpPlan:
+                    strict: bool, start_phase: int = 0) -> PlpPlan:
     n_fec = batch_frames * cfg_plp.fec_blocks
     pp = PlpPlan(cfg=cfg_plp, fec_frames=n_fec)
-    bb = BBFramePlan(cfg_plp, n_fec, strict=strict)
+    bb = BBFramePlan(cfg_plp, n_fec, strict=strict, start_phase=start_phase)
     pp.bb = bb
     pp.headers = bb.headers
     pp.n_packets = bb.n_packets
@@ -197,15 +197,23 @@ def _build_plp_plan(cfg_plp: T2Config, batch_frames: int,
 
 
 def build_plan(cfg: T2Config, batch_frames: Optional[int] = None,
-               strict: bool = True) -> TransmitPlan:
+               strict: bool = True, start_phases=0) -> TransmitPlan:
+    """start_phases: TS byte phase at the step start, one int shared by all
+    PLPs or a per-PLP sequence (see BBFramePlan; 0 = packet-aligned).
+    Non-phase-invariant streaming consumers rebuild the plan per step with
+    ``pp.bb.next_phase`` to keep headers/CRC positions bit-exact."""
     cfg.validate()
     if batch_frames is None:
         batch_frames = min_batch_frames(cfg)
     plan = TransmitPlan(cfg=cfg, batch_frames=batch_frames)
 
     # ---- per-PLP bit/cell/TI stages --------------------------------------
-    plan.plps = [_build_plp_plan(c, batch_frames, strict)
-                 for c in cfg.plp_configs]
+    phases = (list(start_phases)
+              if isinstance(start_phases, (list, tuple, np.ndarray))
+              else [start_phases] * len(cfg.plp_configs))
+    assert len(phases) == len(cfg.plp_configs)
+    plan.plps = [_build_plp_plan(c, batch_frames, strict, start_phase=q)
+                 for c, q in zip(cfg.plp_configs, phases)]
 
     # ---- frame domain -----------------------------------------------------
     plan.l1pre = l1pre_cells(cfg)

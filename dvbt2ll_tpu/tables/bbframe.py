@@ -135,9 +135,19 @@ class BBFramePlan:
 
     Everything stays affine - static slices and reshapes, no per-frame
     gather tables.
+
+    ``start_phase`` is the TS byte phase (the reference's ``count``,
+    lib/bbheaderbch_bb_impl.cc:661-719: 0 = the next input byte is a sync
+    byte) at the step start.  Non-phase-invariant streams drift by
+    ``payload % 188`` per step; a consumer that rebuilds the plan with
+    ``start_phase = prev.next_phase`` gets bit-exact headers / CRC
+    positions for EVERY step (tests/test_modes.py), at the cost of one
+    compile per distinct phase.  HIEFF plans consume whole packets by
+    construction and never drift.
     """
 
-    def __init__(self, cfg: T2Config, n_frames: int, strict: bool = True):
+    def __init__(self, cfg: T2Config, n_frames: int, strict: bool = True,
+                 start_phase: int = 0):
         self.cfg = cfg
         self.n_frames = n_frames
         nbytes = cfg.df_bytes
@@ -157,6 +167,9 @@ class BBFramePlan:
         self.payload_bytes = total_payload
 
         if self.hieff:
+            if start_phase:
+                raise ValueError("HIEFF plans consume whole packets and "
+                                 "never drift; start_phase must be 0")
             if total_payload % 187:
                 raise ValueError(
                     f"HIEFF steps must consume whole packets: payload "
@@ -164,6 +177,9 @@ class BBFramePlan:
             self.n_packets = total_payload // 187
             self.ts_bytes_in = total_payload + self.n_packets
             self.phase_invariant = True  # whole packets enforced above
+            self.start_phase = 0
+            self.next_phase = 0
+            self.sync_offset = 0
             self.sync_slots = np.zeros(0, dtype=np.int64)
             # count (input-stream packet phase) at each frame start
             p0 = offsets[:-1]
@@ -171,18 +187,23 @@ class BBFramePlan:
             frame_counts = np.where(rem == 0, 0, rem + 1)
         else:
             self.ts_bytes_in = total_payload
-            # phase-invariant = step N+1 starts at packet phase 0 again, so
+            # phase-invariant = step N+1 starts at the SAME packet phase, so
             # the static headers / sync-slot layout hold for EVERY step; a
-            # non-invariant plan is single-shot (Transmitter refuses step 2)
+            # non-invariant plan covers one step at its start_phase (the
+            # Transmitter refuses step 2 unless told otherwise)
             self.phase_invariant = total_payload % 188 == 0
             if strict and not self.phase_invariant:
                 raise ValueError(
                     f"step payload ({total_payload}) must be a multiple of "
                     f"188 for a phase-invariant plan; raise batch_frames")
-            counts = np.arange(total_payload) % 188
+            self.start_phase = start_phase % 188
+            self.next_phase = (self.start_phase + total_payload) % 188
+            # index of the first sync slot in the fresh stream
+            self.sync_offset = (188 - self.start_phase) % 188
+            counts = (self.start_phase + np.arange(total_payload)) % 188
             self.sync_slots = np.where(counts == 0)[0]
             self.n_packets = len(self.sync_slots)
-            frame_counts = offsets[:-1] % 188
+            frame_counts = (self.start_phase + offsets[:-1]) % 188
 
         headers = np.empty((n_frames, 80), dtype=np.uint8)
         for f in range(n_frames):

@@ -195,16 +195,27 @@ int main(int argc, char** argv) {
     }
     dump(outdir, "stage2_ldpc.u8", bits2);
 
-    /* ---- stage 3: parity ilv + twist + demux + QAM map (+rot/Q-delay) */
+    /* ---- stage 3: parity ilv + twist + demux + QAM map (+rot/Q-delay).
+     * ONE FEC frame per call: the reference accumulates `produced` into its
+     * fixed FRAME_SIZE_NORMAL-byte tempv member across the work loop
+     * (interleavermod_bc_impl.cc:303-322, .h:40-41), so a single call can
+     * only hold 64800/cells_per_frame frames before tempv overflows - in
+     * GNU Radio the scheduler's small quanta hide this; here we mirror
+     * that granularity. */
     std::vector<gr_complex> cells((size_t)fecframes * cell_size);
     {
-        gr_vector_int nin{(int)bits2.size()};
-        gr_vector_const_void_star in{bits2.data()};
-        gr_vector_void_star out{cells.data()};
-        int produced = ilvi->general_work(fecframes * cell_size, nin, in, out);
-        if (produced != fecframes * cell_size) {
-            std::fprintf(stderr, "stage3 produced %d\n", produced);
-            return 5;
+        const unsigned char* p = bits2.data();
+        for (int f = 0; f < fecframes; f++) {
+            ilvi->refshim_reset_consumed();
+            gr_vector_int nin{frame_bits};
+            gr_vector_const_void_star in{p};
+            gr_vector_void_star out{&cells[(size_t)f * cell_size]};
+            int produced = ilvi->general_work(cell_size, nin, in, out);
+            if (produced != cell_size) {
+                std::fprintf(stderr, "stage3 frame %d produced %d\n", f, produced);
+                return 5;
+            }
+            p += ilvi->refshim_consumed();
         }
     }
     dump(outdir, "stage3_cells.c64", cells);

@@ -18,13 +18,15 @@ class _ListSink:
 def test_executor_matches_sequential():
     cfg = vv009_config()
     n_steps = 3
-    tx_seq = Transmitter(cfg, 1, strict=False)
+    # batch-1 vv009 is not phase-invariant (12352 % 188 != 0); the executor
+    # mechanics under test don't care, so opt out of the streamability guard
+    tx_seq = Transmitter(cfg, 1, strict=False, allow_phase_drift=True)
     n = tx_seq.bytes_per_step
     ts = synthetic_ts(n_steps * n, seed=101)
     expected = np.concatenate(
         [tx_seq(ts[i * n:(i + 1) * n]) for i in range(n_steps)])
 
-    tx = Transmitter(cfg, 1, strict=False)
+    tx = Transmitter(cfg, 1, strict=False, allow_phase_drift=True)
     pos = {"o": 0}
 
     def source(nbytes):

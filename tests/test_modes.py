@@ -94,23 +94,51 @@ def test_inband_hieff_combined():
 
 
 def test_inband_streaming_state():
-    """fec_block cadence and TS phase must carry across steps."""
+    """fec_block cadence and TS phase carry across steps: a consumer that
+    rebuilds the plan with start_phases=bb.next_phase gets bit-exact frames
+    for EVERY step of a non-phase-invariant in-band stream (the drift is
+    3476 % 188 == 92 bytes per step)."""
     cfg = _base_cfg(in_band=InBand.ON, fec_blocks=2)
-    plan = build_plan(cfg, 2, strict=False)
-    n = plan.ts_bytes_in
-    step = jax.jit(lambda x: pipeline.bb_and_fec(plan.plps[0], x))
-    ts = synthetic_ts(2 * n, seed=86)
+    n_steps = 3
+    ts = synthetic_ts(n_steps * 2 * (2 * 869 - 13), seed=86)
     carry = np.zeros(187, np.uint8)
+    phase = 0
     outs = []
-    for i in range(2):
+    for i in range(n_steps):
+        plan = build_plan(cfg, 2, strict=False, start_phases=phase)
+        bb = plan.plps[0].bb
+        assert bb.start_phase == phase and not bb.phase_invariant
+        n = plan.ts_bytes_in
         padded = np.concatenate([carry, ts[i * n:(i + 1) * n]])
+        step = jax.jit(lambda x, p=plan: pipeline.bb_and_fec(p.plps[0], x))
         outs.append(np.asarray(step(jnp.asarray(padded))))
         carry = padded[-187:]
+        phase = bb.next_phase
     fast = np.concatenate(outs)
-    frames, _ = refmodel.bbheader_frames(cfg, ts, 8)
+    frames, _ = refmodel.bbheader_frames(cfg, ts, n_steps * 4)
     coded = refmodel.ldpc_encode(cfg, frames)
-    # NOTE: non-strict plans assume phase 0 at each step start; with
-    # 2*(2*869-13) = 3476 bytes per step the phase drifts by 3476 % 188
-    # ... unless it aligns.  3476 % 188 == 92, so only the first step can
-    # match; this documents the strictness contract.
-    assert (fast[:4] == coded[:4]).all()
+    assert (fast == coded).all()  # ALL frames, all steps
+
+
+def test_normal_phase_drift_plans():
+    """Per-phase plans make non-packet-aligned NORMAL-mode streaming
+    bit-exact too (every step's headers, SYNCD, and CRC slot positions
+    match the continuous oracle)."""
+    cfg = _base_cfg()  # 869 payload bytes/frame; 869 % 188 = 117 drift
+    n_steps = 4
+    ts = synthetic_ts(n_steps * 869, seed=87)
+    carry = np.zeros(187, np.uint8)
+    phase = 0
+    outs = []
+    for i in range(n_steps):
+        plan = build_plan(cfg, 1, strict=False, start_phases=phase)
+        bb = plan.plps[0].bb
+        padded = np.concatenate([carry, ts[i * 869:(i + 1) * 869]])
+        step = jax.jit(lambda x, p=plan: pipeline.bb_and_fec(p.plps[0], x))
+        outs.append(np.asarray(step(jnp.asarray(padded))))
+        carry = padded[-187:]
+        phase = bb.next_phase
+    fast = np.concatenate(outs)
+    frames, _ = refmodel.bbheader_frames(cfg, ts, n_steps)
+    coded = refmodel.ldpc_encode(cfg, frames)
+    assert (fast == coded).all()

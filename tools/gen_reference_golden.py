@@ -31,7 +31,12 @@ TS_SEED = 1234  # fixed: the npz records the stream, tests regenerate it
 
 # T2 frames to capture per config: vv009 gets 2 superframes (covers the
 # t2_frames wrap of the L1-post frame counter), the big configs get one.
-N_FRAMES = {"vv009_4kshort": 4, "8k_normal": 2, "32k_extended": 2}
+# The second row is the mode/MISO matrix: each entry pins a reference
+# work-loop branch the BASELINE trio never takes (hieff_2k needs 17
+# frames so the HIEFF payload is a whole number of 187-byte packets).
+N_FRAMES = {"vv009_4kshort": 4, "8k_normal": 2, "32k_extended": 2,
+            "hieff_4k": 17, "inband_2k": 2,
+            "8k_miso_tx1": 2, "8k_miso_tx2": 2, "32k_papr_tr": 2}
 
 
 def build_harness() -> str:
@@ -87,7 +92,10 @@ def generate(name: str, cfg=None) -> str:
         cfg = _named_config(name)
     nframes = N_FRAMES.get(name, 2)
     fecframes = nframes * cfg.fec_blocks
-    ts_bytes = fecframes * cfg.df_bytes
+    # input bytes the reference consumes for fecframes frames: payload
+    # (minus 13/group for in-band) plus the dropped sync bytes in HIEFF
+    from dvbt2ll_tpu.tables.bbframe import BBFramePlan
+    ts_bytes = BBFramePlan(cfg, fecframes, strict=False).ts_bytes_in
     ts = synthetic_ts(ts_bytes, seed=TS_SEED)
 
     os.makedirs(OUT_DIR, exist_ok=True)

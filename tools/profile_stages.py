@@ -1,8 +1,9 @@
-"""Per-stage wall-clock profile of the vv009 chain on the current device.
+"""Per-stage wall-clock profile of a transmit chain on the current device.
 
 Times each pipeline stage as its own jitted program (checksum-fenced for
 the axon tunnel, where block_until_ready returns early) to rank hot spots.
-Usage: python tools/profile_stages.py [batch] [iters]
+Usage: python tools/profile_stages.py [batch] [iters] [config]
+  config: vv009_4kshort (default) | 8k_normal | 32k_extended
 """
 import sys
 
@@ -12,7 +13,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dvbt2ll_tpu.config import vv009_config
+from bench import _named_config
 from dvbt2ll_tpu.io import synthetic_ts
 from dvbt2ll_tpu import pipeline as P
 from dvbt2ll_tpu.pipeline import Transmitter
@@ -20,8 +21,9 @@ from dvbt2ll_tpu.pipeline import Transmitter
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 20
-    cfg = vv009_config()
-    tx = Transmitter(cfg, batch, strict=False)
+    cfg = _named_config(sys.argv[3] if len(sys.argv) > 3
+                        else "vv009_4kshort")
+    tx = Transmitter(cfg, batch, strict=False, allow_phase_drift=True)
     pp = tx.plan.plps[0]
     n = tx.bytes_per_step
     ts = np.concatenate([np.zeros(187, np.uint8), synthetic_ts(n)])

@@ -26,7 +26,9 @@ def main():
     from dvbt2ll_tpu.observability import profile_trace
     from dvbt2ll_tpu.pipeline import Transmitter
 
-    tx = Transmitter(vv009_config(), batch, strict=False)
+    # profiling repeats the same step; phase continuity is irrelevant here
+    tx = Transmitter(vv009_config(), batch, strict=False,
+                     allow_phase_drift=True)
     ts = synthetic_ts(tx.bytes_per_step)
     tx(ts)  # compile outside the trace
     logdir = tempfile.mkdtemp(prefix="dvbt2ll_xprof_")
