@@ -112,6 +112,88 @@ def test_miso_groups_differ():
     assert not np.allclose(tx1(ts), tx2(ts))
 
 
+@pytest.mark.parametrize("fft,pp,gi,group,ndata", [
+    (FFTSize.FFT_8K, PilotPattern.PP3, GuardInterval.GI_1_16, 0, 8),
+    (FFTSize.FFT_16K, PilotPattern.PP3, GuardInterval.GI_1_16, 1, 6),
+    (FFTSize.FFT_32K, PilotPattern.PP7, GuardInterval.GI_1_32, 0, 4),
+    (FFTSize.FFT_32K, PilotPattern.PP7, GuardInterval.GI_1_32, 1, 4),
+])
+def test_miso_large_fft_extended(fft, pp, gi, group, ndata):
+    """MISO TX1/TX2 at 8K/16K/32K with EXTENDED carriers: the FFT-size-
+    specific P2-pilot branches (32K MISO keeps the every-3rd-carrier grid
+    instead of SISO's every-6th), the 4 extra edge P2 pilots, K_EXT edge
+    extension, and TX2 pilot inversions (reference
+    lib/pilotgenp1insert_cc_impl.cc:668-926)."""
+    from dvbt2ll_tpu.config import MisoGroup, Preamble
+    cfg = T2Config(
+        frame_size=FrameSize.SHORT, code_rate=CodeRate.C2_3,
+        constellation=Constellation.QAM64, rotation=Rotation.OFF,
+        fft_size=fft, guard_interval=gi, pilot_pattern=pp,
+        carrier_mode=CarrierMode.EXTENDED, preamble=Preamble.T2_MISO,
+        miso_group=MisoGroup(group), fec_blocks=2, ti_blocks=1,
+        t2_frames=2, num_data_symbols=ndata).validate()
+    assert _snr_db(cfg, seed=120 + 2 * int(fft) + group) > 100.0
+
+
+def test_miso_papr_adjacent_extra_pilots():
+    """MISO + TR-PAPR: P2-PAPR holes that land next to the every-3rd-
+    carrier P2 pilot grid grow flanking extra P2 pilots (reference
+    lib/pilotgenp1insert_cc_impl.cc:736-792 MISO k%3 branches)."""
+    from dvbt2ll_tpu.config import MisoGroup, PAPR, Preamble
+    from dvbt2ll_tpu.tables.pilots import _INVERT_BIT, _p2_carrier_map, P2PILOT
+    cfg = T2Config(
+        frame_size=FrameSize.SHORT, code_rate=CodeRate.C2_3,
+        constellation=Constellation.QAM64, rotation=Rotation.OFF,
+        fft_size=FFTSize.FFT_8K, guard_interval=GuardInterval.GI_1_16,
+        pilot_pattern=PilotPattern.PP3, carrier_mode=CarrierMode.EXTENDED,
+        preamble=Preamble.T2_MISO, miso_group=MisoGroup.TX1, papr=PAPR.TR,
+        fec_blocks=2, ti_blocks=1, t2_frames=2,
+        num_data_symbols=8).validate()
+    # the extra-pilot rule must actually fire for this config: some
+    # carrier is a P2 pilot here that is NOT one in the SISO map
+    import dataclasses
+    siso = dataclasses.replace(cfg, preamble=Preamble.T2_SISO).validate()
+    m_miso = _p2_carrier_map(cfg) & ~np.int32(_INVERT_BIT)
+    m_siso = _p2_carrier_map(siso)
+    extra = ((m_miso == P2PILOT) & (m_siso != P2PILOT)).sum()
+    assert extra > 0
+    assert _snr_db(cfg, seed=130) > 100.0
+
+
+def test_papr_both_reserved_tones():
+    """PAPR.BOTH = TR tone reservation + ACE signalling: same carrier
+    budget as TR, different L1 papr field (reference dvbt2ll_config.h
+    PAPR_BOTH; pilotgenp1insert treats TR and BOTH identically)."""
+    import dataclasses
+    from dvbt2ll_tpu.config import PAPR, vv009_config
+    cfg = dataclasses.replace(vv009_config(), papr=PAPR.BOTH,
+                              num_data_symbols=4).validate()
+    tr = dataclasses.replace(vv009_config(), papr=PAPR.TR,
+                             num_data_symbols=4).validate()
+    assert cfg.c_data == tr.c_data          # same tone reservation as TR
+    assert _snr_db(cfg, seed=131) > 100.0
+    # the L1 papr field distinguishes BOTH from TR
+    tx_both = Transmitter(cfg, 1, strict=False)
+    tx_tr = Transmitter(tr, 1, strict=False)
+    ts = synthetic_ts(tx_both.bytes_per_step, seed=131)
+    assert not np.allclose(tx_both(ts), tx_tr(ts))
+
+
+def test_papr_tr_extended_carriers():
+    """TR-PAPR with EXTENDED carriers: the reserved-tone map shifts by
+    K_EXT on 8K+ (reference pilotgenp1insert_cc_impl.cc:2739-2781 papr_map
+    offsets), and the per-symbol TR shift wraps within C_PS."""
+    from dvbt2ll_tpu.config import PAPR
+    cfg = T2Config(
+        frame_size=FrameSize.SHORT, code_rate=CodeRate.C2_3,
+        constellation=Constellation.QAM64, rotation=Rotation.OFF,
+        fft_size=FFTSize.FFT_8K, guard_interval=GuardInterval.GI_1_16,
+        pilot_pattern=PilotPattern.PP3, carrier_mode=CarrierMode.EXTENDED,
+        papr=PAPR.TR, fec_blocks=2, ti_blocks=1, t2_frames=2,
+        num_data_symbols=8).validate()
+    assert _snr_db(cfg, seed=132) > 100.0
+
+
 def test_1k_fft_small():
     """1K FFT coverage (smallest carrier structure, C_PS=853)."""
     cfg = T2Config(
