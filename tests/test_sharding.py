@@ -46,6 +46,31 @@ def test_mux_and_frame_sharded_equals_sequential():
         assert np.array_equal(sharded[c], seq)
 
 
+def test_sharded_hlo_has_zero_collectives():
+    """The steady-state scaling claim rests on this: the compiled 8-device
+    sharded step must contain NO inter-device ops, so N chips run N
+    disjoint programs and scaling is linear in per-chip throughput
+    (BENCH.md "Scaling (measured)"; tools/bench_scaling.py audits the
+    same property)."""
+    import re
+
+    from dvbt2ll_tpu.parallel.sharding import halo_windows
+
+    cfg = vv009_config()
+    mesh = make_mesh(jax.devices("cpu")[:8], mux=1)
+    stx = ShardedTransmitter(cfg, mesh, n_mux=1, frames_per_shard=1,
+                             allow_phase_drift=True, strict=False)
+    ts = synthetic_ts(stx.bytes_per_step_per_mux, seed=24)[None]
+    w = halo_windows(ts, stx._carries[:, 0], stx.frame_shards)
+    fidx = np.zeros((1, stx.frame_shards), np.int32)
+    args = [stx._mesh_put(w, stx._in_specs[0]),
+            stx._mesh_put(fidx, stx._in_specs[-1])]
+    hlo = stx._sharded.lower(*args).compile().as_text()
+    pat = re.compile(r"=\s*\S*\s*(all-reduce|all-gather|collective-permute"
+                     r"|all-to-all|reduce-scatter|collective-broadcast)\(")
+    assert pat.findall(hlo) == []
+
+
 def test_frame_sharded_streaming_carry():
     """The halo carry must hold across sharded steps too."""
     cfg = vv009_config()
