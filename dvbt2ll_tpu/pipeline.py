@@ -154,10 +154,11 @@ def bb_and_fec(pp: PlpPlan, ts_padded: jnp.ndarray) -> jnp.ndarray:
     # chain p[j] ^= p[j-1] factors into an in-row (q-wide) inclusive
     # prefix plus an exclusive log-depth scan over the 360 rows.
     if getattr(pp, "use_pallas", False):
-        # VMEM-resident Pallas kernel, ~15% faster than the XLA schedule
-        # on TPU (ops/ldpc_pallas.py); CPU runs keep the XLA path.
-        # Returns None when no lane tile fits VMEM (normal-frame tables
-        # with a multi-step grid) - fall through to XLA then.
+        # VMEM-resident Pallas kernel (ops/ldpc_pallas.py); CPU runs keep
+        # the XLA path.  Short-frame tables fit one resident block;
+        # normal-frame tables run the two-level row-grouped variant.
+        # A/B evidence: BENCH.md "Pallas LDPC".  None (XLA fall-through)
+        # is kept defensively but no Annex-A table triggers it.
         from .ops import qc_ldpc_parity_pallas
         ldpc_par = qc_ldpc_parity_pallas(
             pp.ldpc_cols, cfg.nbch, cfg.ldpc_parity_bits, cfg.q_ldpc,

@@ -162,3 +162,27 @@ def test_pallas_qc_ldpc_matches_xla():
         ref = ldpc.encode_ref(nb[i], cfg.frame_size, cfg.code_rate,
                               cfg.ldpc_parity_bits, cfg.q_ldpc)
         assert (par_pallas[i] == ref).all()
+
+
+def test_pallas_qc_ldpc_grouped_normal_frames():
+    """Normal-frame tables don't fit a single VMEM-resident input block at
+    F > 128; the two-level row-grouped kernel must take over (no XLA
+    fallback) and still match the scatter oracle bit-for-bit."""
+    import jax.numpy as jnp
+    from dvbt2ll_tpu.ops.ldpc_pallas import _tile_for, qc_ldpc_parity_pallas
+
+    frame_size, rate = FrameSize.NORMAL, CodeRate.C2_3
+    nbch, plen = 43200, 64800 - 43200
+    q = plen // 360
+    f = 132  # > 128 forces the multi-step grid -> grouped kernel
+    tiling = _tile_for(nbch, plen, f)
+    assert tiling is not None and tiling[1] < nbch  # grouped, not fallback
+
+    cols_sched = ldpc.qc_entries(frame_size, rate, q)
+    rng = np.random.default_rng(11)
+    nb = rng.integers(0, 2, (f, nbch), dtype=np.uint8)
+    par = np.asarray(qc_ldpc_parity_pallas(
+        cols_sched, nbch, plen, q, jnp.asarray(nb), interpret=True))
+    for i in (0, 77, f - 1):
+        ref = ldpc.encode_ref(nb[i], frame_size, rate, plen, q)
+        assert (par[i] == ref).all()

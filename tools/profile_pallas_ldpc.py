@@ -1,38 +1,34 @@
 """Pallas QC-LDPC encoder (the shipped ops/ldpc_pallas.py kernel) vs the
-XLA slice-schedule, on real hardware.
+XLA slice-schedule, on real hardware - statistically clean A/B.
 
-Usage: python tools/profile_pallas_ldpc.py [F] [config]
+Usage: python tools/profile_pallas_ldpc.py [F] [config] [reps]
   config: vv009_4kshort (default) | 8k_normal | 32k_extended
-Measured on TPU v5e (F=2048, vv009): XLA 1.16 ms, Pallas 0.96-0.99 ms
-including the wrapping transposes.  Normal-frame tables fit VMEM only at
-grid 1 (F <= 128); beyond that the kernel declines (returns None) and
-the pipeline keeps the XLA schedule.
-"""
-import sys
+  reps:   independent timed repetitions (default 10); each rep times
+          `iters` kernel calls and the report gives median +- spread, so
+          tunnel run-to-run variance is visible instead of averaged away.
 
-from _common import bench
+The verdict line prints the median speedup and whether the two
+distributions are separable (min/max overlap) - the keep/delete evidence
+for BENCH.md "Pallas LDPC".
+"""
+import statistics
+import sys
+import time
+
+from _common import fence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from bench import _named_config
-from dvbt2ll_tpu.ops.ldpc_pallas import qc_ldpc_parity_pallas
+from dvbt2ll_tpu.ops.ldpc_pallas import _tile_for, qc_ldpc_parity_pallas
 from dvbt2ll_tpu.tables.ldpc import qc_entries
 
 
-def main():
-    f = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
-    name = sys.argv[2] if len(sys.argv) > 2 else "vv009_4kshort"
-    cfg = _named_config(name)
-    q, plen, nbch = cfg.q_ldpc, cfg.ldpc_parity_bits, cfg.nbch
-    cols_sched = qc_entries(cfg.frame_size, cfg.code_rate, q)
-    rows = nbch // 360
-    rng = np.random.default_rng(0)
-    nb = jnp.asarray(rng.integers(0, 2, (f, nbch), dtype=np.uint8))
-
-    def xla_path(nbb):
-        g = nbb.reshape(f, rows, 360)
+def _xla_path(cols_sched, nbch, plen, q, f):
+    def fn(nbb):
+        g = nbb.reshape(f, nbch // 360, 360)
         g2 = jnp.concatenate([g, g], axis=2)
         cols = []
         for entries in cols_sched:
@@ -52,15 +48,55 @@ def main():
         row_excl = jnp.concatenate(
             [jnp.zeros((f, 1), jnp.uint8), row_inc[:, :-1]], axis=1)
         return (incl ^ row_excl[:, :, None]).reshape(f, plen)
+    return fn
 
-    def pallas_path(nbb):
-        out = qc_ldpc_parity_pallas(cols_sched, nbch, plen, q, nbb)
-        assert out is not None, "kernel declined (no VMEM tile fits)"
-        return out
 
-    a, _ = bench("xla slice-schedule", xla_path, nb)
-    b, _ = bench("pallas kernel", pallas_path, nb)
-    print("equal:", bool(jnp.array_equal(a, b)), flush=True)
+def _reps(f, args, reps, iters):
+    out = f(*args)
+    fence(out)                      # compile + drain
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = f(*args)
+        fence(out)
+        times.append((time.perf_counter() - t0) / iters)
+    return times
+
+
+def main():
+    f = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
+    name = sys.argv[2] if len(sys.argv) > 2 else "vv009_4kshort"
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    iters = 20
+    cfg = _named_config(name)
+    q, plen, nbch = cfg.q_ldpc, cfg.ldpc_parity_bits, cfg.nbch
+    cols_sched = qc_entries(cfg.frame_size, cfg.code_rate, q)
+    tiling = _tile_for(nbch, plen, f)
+    print(f"{name}: F={f} nbch={nbch} plen={plen} q={q} "
+          f"tiling(f_tile, group_rows)={tiling}", flush=True)
+    rng = np.random.default_rng(0)
+    nb = jnp.asarray(rng.integers(0, 2, (f, nbch), dtype=np.uint8))
+
+    xla = jax.jit(_xla_path(cols_sched, nbch, plen, q, f))
+    pal = jax.jit(lambda b: qc_ldpc_parity_pallas(
+        cols_sched, nbch, plen, q, b))
+
+    a = np.asarray(xla(nb))
+    b = np.asarray(pal(nb))
+    assert np.array_equal(a, b), "pallas != xla"
+    print("outputs bit-identical", flush=True)
+
+    tx = _reps(xla, (nb,), reps, iters)
+    tp = _reps(pal, (nb,), reps, iters)
+    mx, mp = statistics.median(tx), statistics.median(tp)
+    print(f"xla    median {mx*1e3:7.3f} ms  min {min(tx)*1e3:7.3f}  "
+          f"max {max(tx)*1e3:7.3f}  ({reps} reps x {iters} iters)")
+    print(f"pallas median {mp*1e3:7.3f} ms  min {min(tp)*1e3:7.3f}  "
+          f"max {max(tp)*1e3:7.3f}")
+    sep = max(tp) < min(tx) or max(tx) < min(tp)
+    print(f"speedup xla/pallas = {mx/mp:.3f}x  "
+          f"distributions {'SEPARABLE' if sep else 'OVERLAP'}")
 
 
 if __name__ == "__main__":
