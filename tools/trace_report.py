@@ -3,7 +3,8 @@ cost ranking.  The per-op histogram is how the chain was verified to be
 at its op-level plateau (no single fusion dominates; the cost is spread
 across ~30 fusions of 0.07-0.2 ms at batch 256).
 
-Usage: python tools/trace_report.py [batch] [steps]
+Usage: python tools/trace_report.py [batch] [steps] [config]
+  config: vv009_4kshort (default) | 8k_normal | 32k_extended | ...
 """
 import collections
 import glob
@@ -21,13 +22,15 @@ def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
 
-    from dvbt2ll_tpu.config import vv009_config
+    from bench import _named_config
     from dvbt2ll_tpu.io import synthetic_ts
     from dvbt2ll_tpu.observability import profile_trace
     from dvbt2ll_tpu.pipeline import Transmitter
 
+    cfg = _named_config(sys.argv[3] if len(sys.argv) > 3
+                        else "vv009_4kshort")
     # profiling repeats the same step; phase continuity is irrelevant here
-    tx = Transmitter(vv009_config(), batch, strict=False,
+    tx = Transmitter(cfg, batch, strict=False,
                      allow_phase_drift=True)
     ts = synthetic_ts(tx.bytes_per_step)
     tx(ts)  # compile outside the trace
