@@ -82,6 +82,30 @@ def _named_config(name):
                         else MisoGroup.TX2),
             fec_blocks=2, ti_blocks=1, t2_frames=2,
             num_data_symbols=8).validate()
+    if name == "16k_l1qpsk_both":
+        # 16K carrier structure (no golden pinned it before), L1-post as
+        # QPSK (framemapperfint_cc_impl.cc:1853-1870) and PAPR BOTH,
+        # which the reference's pilot generator treats exactly like TR
+        return T2Config(
+            frame_size=FrameSize.SHORT, code_rate=CodeRate.C2_3,
+            constellation=Constellation.QAM16, rotation=Rotation.ON,
+            fft_size=FFTSize.FFT_16K, guard_interval=GuardInterval.GI_1_16,
+            pilot_pattern=PilotPattern.PP3, carrier_mode=CarrierMode.EXTENDED,
+            papr=PAPR.BOTH, l1_constellation=L1Constellation.QPSK,
+            fec_blocks=2, ti_blocks=1, t2_frames=2,
+            num_data_symbols=6).validate()
+    if name == "1k_pp4":
+        # 1K carrier structure (C_PS=853), the (1K, PP4) frame-closing
+        # extra-scattered-pilot quirk (pilotgenp1insert_cc_impl.cc:1008),
+        # and the 16QAM L1 bit interleaver (framemapperfint :1832-1852)
+        return T2Config(
+            frame_size=FrameSize.SHORT, code_rate=CodeRate.C2_3,
+            constellation=Constellation.QPSK, rotation=Rotation.OFF,
+            fft_size=FFTSize.FFT_1K, guard_interval=GuardInterval.GI_1_8,
+            pilot_pattern=PilotPattern.PP4,
+            l1_constellation=L1Constellation.QAM16,
+            fec_blocks=1, ti_blocks=1, t2_frames=2,
+            num_data_symbols=16).validate()
     if name == "32k_papr_tr":
         # TR-PAPR reserved tones, lib/pilotgenp1insert_cc_impl.cc:2739-2781
         return T2Config(

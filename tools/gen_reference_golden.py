@@ -36,7 +36,8 @@ TS_SEED = 1234  # fixed: the npz records the stream, tests regenerate it
 # frames so the HIEFF payload is a whole number of 187-byte packets).
 N_FRAMES = {"vv009_4kshort": 4, "8k_normal": 2, "32k_extended": 2,
             "hieff_4k": 17, "inband_2k": 2,
-            "8k_miso_tx1": 2, "8k_miso_tx2": 2, "32k_papr_tr": 2}
+            "8k_miso_tx1": 2, "8k_miso_tx2": 2, "32k_papr_tr": 2,
+            "16k_l1qpsk_both": 2, "1k_pp4": 2}
 
 
 def build_harness() -> str:
