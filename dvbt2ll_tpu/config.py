@@ -725,8 +725,67 @@ class T2Config:
         return small, big, self.ti_blocks - n_big, n_big
 
     def validate(self) -> "T2Config":
-        """Raise ValueError for inconsistent parameter combinations."""
+        """Raise ValueError for inconsistent parameter combinations.
+
+        Beyond arithmetic consistency this enforces the version/preamble
+        gating the reference encodes only in its GRC UI layer
+        (grc/dvbt2ll_framemapperfint_cc.xml:7-29 and the param ``hide``
+        attributes): T2-Lite preambles exist only in the V1.3.1 option
+        set, the FFT-size menu differs between base (no 16K-T2GI) and
+        lite (no 1K/32K) profiles, and L1-post scrambling / reserved-bias
+        bits are V1.3.1-only fields (previously silently ignored
+        off-version by tables/l1.py).  HIEFF input mode and in-band
+        signalling are NOT version-gated: the block-level UI
+        (grc/dvbt2ll_bbheaderbch_bb.xml:7) accepts them at any version
+        and the reference binary emits them under V1.1.1 (pinned by the
+        hieff_4k/inband_2k reference goldens).  PAPR needs no gate: the
+        V1.1.1 and V1.3.1 menus carry identical values (only the
+        PAPR_OFF label changes to "P2 Only").  T2-Lite FEC restrictions
+        (16200-bit frames only, no rates 4/5 or 5/6) follow EN 302 755
+        V1.3.1 Annex I — stricter than the reference, which leaves them
+        to the user.
+        """
         _ = self.fec, self.carriers, self.symbol_cells, self.dummy_cells
+        if self.preamble == Preamble.NON_T2:
+            raise ValueError(
+                "preamble NON_T2 labels FEF parts, not T2 frames; a "
+                "transmitter config must use a T2 or T2-Lite preamble "
+                "(FEF parts are configured via fef_length/fef_type)")
+        lite = self.preamble in (Preamble.T2_LITE_SISO,
+                                 Preamble.T2_LITE_MISO)
+        if lite:
+            if self.version != Version.V131:
+                raise ValueError(
+                    "T2-Lite preambles require version=Version.V131 (the "
+                    "reference offers lite preambles only in its 1.3.1 "
+                    "option set, grc/dvbt2ll_framemapperfint_cc.xml)")
+            if self.fft_size in (FFTSize.FFT_1K, FFTSize.FFT_32K,
+                                 FFTSize.FFT_32K_T2GI):
+                raise ValueError(
+                    f"{self.fft_size!r} is not available in the T2-Lite "
+                    "profile (lite FFT menu: 2K/4K/8K/16K incl. T2GI "
+                    "variants)")
+            if self.frame_size != FrameSize.SHORT:
+                raise ValueError(
+                    "T2-Lite uses only 16200-bit (short) FEC frames "
+                    "(EN 302 755 V1.3.1 Annex I)")
+            if self.code_rate in (CodeRate.C4_5, CodeRate.C5_6):
+                raise ValueError(
+                    f"code rate {self.code_rate!r} is not part of the "
+                    "T2-Lite profile (EN 302 755 V1.3.1 Annex I)")
+        elif self.fft_size == FFTSize.FFT_16K_T2GI:
+            raise ValueError(
+                "FFT_16K_T2GI exists only in the T2-Lite profile; the "
+                "base-profile menu offers FFT_16K")
+        if self.l1_scrambled and self.version != Version.V131:
+            raise ValueError(
+                "l1_scrambled is a V1.3.1-only L1 feature; use "
+                "version=Version.V131 (the reference UI hides it "
+                "otherwise and earlier receivers would not descramble)")
+        if self.reserved_bias_bits and self.version != Version.V131:
+            raise ValueError(
+                "reserved_bias_bits is a V1.3.1-only L1 feature; use "
+                "version=Version.V131")
         if self.num_plain_data_symbols < 0:
             raise ValueError("num_data_symbols must be >= 1")
         if self.t2_frames < 1 or self.t2_frames > 255:

@@ -34,6 +34,29 @@ from ..pipeline import _consts, transmit_step_iq
 from ..plan import TransmitPlan, build_plan
 
 
+#: Inter-device ops in optimized HLO, sync AND async spellings: TPU HLO
+#: commonly splits collectives into -start/-done pairs, and point-to-point
+#: traffic lowers to send/recv — an audit matching only the sync forms
+#: would falsely report zero collectives on TPU (ADVICE r3).  Shared by
+#: tests/test_sharding.py and tools/bench_scaling.py so the two audits
+#: cannot drift.
+import re as _re
+
+#: The op name always follows its result shape, whose text ends in ']'
+#: (array), '}' (layout) or ')' (tuple — send/recv and the async -start
+#: forms return tuples, which contain spaces a \S* shape matcher misses).
+_COLLECTIVE_PAT = _re.compile(
+    r"[\])}]\s*((?:all-reduce|all-gather|collective-permute|all-to-all"
+    r"|reduce-scatter|collective-broadcast|ragged-all-to-all)(?:-start"
+    r"|-done)?|send|send-done|recv|recv-done)\(")
+
+
+def find_collectives(hlo_text: str):
+    """All inter-device op names found in optimized HLO text (empty list
+    == the program is provably communication-free)."""
+    return _COLLECTIVE_PAT.findall(hlo_text)
+
+
 def _shard_map(fn, mesh, in_specs, out_specs, check=True):
     """shard_map across JAX versions: jax.shard_map (>=0.8) spells the
     replication-check kwarg ``check_vma``; the jax.experimental fallback

@@ -68,6 +68,61 @@ def test_invalid_combos_raise():
         T2Config(fec_blocks=2000).validate()  # cells exceed frame capacity
 
 
+def test_version_preamble_gating():
+    """The version/preamble constraints the reference encodes in its GRC
+    UI (grc/dvbt2ll_framemapperfint_cc.xml:7-29) must be hard errors here;
+    each combo below validated silently before round 4."""
+    import dataclasses
+    from dvbt2ll_tpu.config import Preamble, Version
+
+    base = vv009_config()
+
+    # NON_T2 is the FEF-part S1 label, never a transmitter preamble
+    with pytest.raises(ValueError, match="NON_T2"):
+        dataclasses.replace(base, preamble=Preamble.NON_T2).validate()
+
+    # T2-Lite preambles exist only in the V1.3.1 option set
+    with pytest.raises(ValueError, match="V131"):
+        dataclasses.replace(base, preamble=Preamble.T2_LITE_SISO,
+                            code_rate=CodeRate.C3_4).validate()
+
+    # lite FFT menu has no 1K/32K
+    with pytest.raises(ValueError, match="T2-Lite"):
+        dataclasses.replace(
+            base, preamble=Preamble.T2_LITE_SISO, version=Version.V131,
+            code_rate=CodeRate.C3_4, fft_size=FFTSize.FFT_32K,
+            pilot_pattern=PilotPattern.PP7).validate()
+
+    # T2-Lite is short-frames-only, and 4/5 / 5/6 are not lite rates
+    with pytest.raises(ValueError, match="short"):
+        dataclasses.replace(
+            base, preamble=Preamble.T2_LITE_SISO, version=Version.V131,
+            frame_size=FrameSize.NORMAL, code_rate=CodeRate.C3_4,
+            fec_blocks=2, num_data_symbols=14).validate()
+    with pytest.raises(ValueError, match="T2-Lite"):
+        dataclasses.replace(base, preamble=Preamble.T2_LITE_SISO,
+                            version=Version.V131).validate()  # C4_5
+
+    # 16K-T2GI is the lite-only FFT entry
+    with pytest.raises(ValueError, match="16K_T2GI"):
+        dataclasses.replace(base, fft_size=FFTSize.FFT_16K_T2GI,
+                            pilot_pattern=PilotPattern.PP3,
+                            num_data_symbols=4).validate()
+
+    # V1.3.1-only L1 features must not be silently ignored off-version
+    with pytest.raises(ValueError, match="l1_scrambled"):
+        dataclasses.replace(base, l1_scrambled=True).validate()
+    with pytest.raises(ValueError, match="reserved_bias_bits"):
+        dataclasses.replace(base, reserved_bias_bits=True).validate()
+
+    # the valid spellings still pass
+    dataclasses.replace(base, l1_scrambled=True, reserved_bias_bits=True,
+                        version=Version.V131).validate()
+    dataclasses.replace(base, preamble=Preamble.T2_LITE_SISO,
+                        version=Version.V131,
+                        code_rate=CodeRate.C3_4).validate()
+
+
 def test_frame_duration_example():
     cfg = vv009_config()
     assert abs(cfg.frame_duration - 31616 / (131e6 / 71.0)) < 1e-12

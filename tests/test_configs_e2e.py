@@ -273,18 +273,24 @@ def test_t2_lite_preambles(pre):
     """T2-Lite SISO/MISO: P1 S1 field and pattern change with the preamble
     (reference pilotgenp1insert :54-56, s1 = preamble), L1-pre TYPE follows."""
     import dataclasses
-    from dvbt2ll_tpu.config import MisoGroup, Preamble, vv009_config
+    from dvbt2ll_tpu.config import (CodeRate, MisoGroup, Preamble, Version,
+                                    vv009_config)
     base = vv009_config()
     cfg = dataclasses.replace(
         base, preamble=Preamble(pre), miso_group=MisoGroup.TX1,
+        # T2-Lite gating (config.validate): V1.3.1 only, and C4_5 is not a
+        # lite rate — C3_4 keeps the identical cell budget
+        version=Version.V131, code_rate=CodeRate.C3_4,
         # MISO halves the P2 cell budget; add a data symbol to fit
         num_data_symbols=4 if pre == 4 else base.num_data_symbols).validate()
     assert _snr_db(cfg, seed=71 + pre) > 100.0
     # the P1 of a T2-Lite frame must differ from the plain T2 one
+    # (C3_4 consumes fewer TS bytes per step than the base C4_5, so each
+    # transmitter gets its own correctly-sized stream; P1 is data-free)
     tx_lite = Transmitter(cfg, 1, strict=False)
     tx_t2 = Transmitter(base, 1, strict=False)
-    ts = synthetic_ts(tx_lite.bytes_per_step, seed=71)
-    a, b = tx_lite(ts), tx_t2(ts)
+    a = tx_lite(synthetic_ts(tx_lite.bytes_per_step, seed=71))
+    b = tx_t2(synthetic_ts(tx_t2.bytes_per_step, seed=71))
     assert not np.allclose(a[:, :2048], b[:, :2048])
 
 

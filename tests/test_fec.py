@@ -164,15 +164,21 @@ def test_pallas_qc_ldpc_matches_xla():
         assert (par_pallas[i] == ref).all()
 
 
-def test_pallas_qc_ldpc_grouped_normal_frames():
+@pytest.mark.parametrize("rate,nbch", [
+    (CodeRate.C2_3, 43200),   # group_rows divides nbch exactly
+    (CodeRate.C3_4, 48600),   # group_rows pads a zero 360-row block into
+                              # the last group (ADVICE r3) — the padded
+                              # path must still match the oracle
+])
+def test_pallas_qc_ldpc_grouped_normal_frames(rate, nbch):
     """Normal-frame tables don't fit a single VMEM-resident input block at
     F > 128; the two-level row-grouped kernel must take over (no XLA
     fallback) and still match the scatter oracle bit-for-bit."""
     import jax.numpy as jnp
     from dvbt2ll_tpu.ops.ldpc_pallas import _tile_for, qc_ldpc_parity_pallas
 
-    frame_size, rate = FrameSize.NORMAL, CodeRate.C2_3
-    nbch, plen = 43200, 64800 - 43200
+    frame_size = FrameSize.NORMAL
+    plen = 64800 - nbch
     q = plen // 360
     f = 132  # > 128 forces the multi-step grid -> grouped kernel
     tiling = _tile_for(nbch, plen, f)

@@ -52,9 +52,7 @@ def test_sharded_hlo_has_zero_collectives():
     disjoint programs and scaling is linear in per-chip throughput
     (BENCH.md "Scaling (measured)"; tools/bench_scaling.py audits the
     same property)."""
-    import re
-
-    from dvbt2ll_tpu.parallel.sharding import halo_windows
+    from dvbt2ll_tpu.parallel.sharding import find_collectives, halo_windows
 
     cfg = vv009_config()
     mesh = make_mesh(jax.devices("cpu")[:8], mux=1)
@@ -66,9 +64,25 @@ def test_sharded_hlo_has_zero_collectives():
     args = [stx._mesh_put(w, stx._in_specs[0]),
             stx._mesh_put(fidx, stx._in_specs[-1])]
     hlo = stx._sharded.lower(*args).compile().as_text()
-    pat = re.compile(r"=\s*\S*\s*(all-reduce|all-gather|collective-permute"
-                     r"|all-to-all|reduce-scatter|collective-broadcast)\(")
-    assert pat.findall(hlo) == []
+    assert find_collectives(hlo) == []
+
+
+def test_find_collectives_matches_async_forms():
+    """The audit helper must catch the async -start/-done spellings TPU
+    HLO uses, and send/recv — not only the sync forms (ADVICE r3)."""
+    from dvbt2ll_tpu.parallel.sharding import find_collectives
+
+    hlo = """
+  %ar = f32[8]{0} all-reduce-start(f32[8]{0} %x), replica_groups={}
+  %ag = f32[16]{0} all-gather(f32[8]{0} %y), dimensions={0}
+  %cp = (f32[4], f32[4]) collective-permute-start(f32[4] %z)
+  %sd = (f32[4], u32[], token[]) send(f32[4] %a, token[] %t), channel_id=1
+  %rv = (f32[4], u32[], token[]) recv(token[] %t), channel_id=2
+  %ok = f32[8]{0} add(f32[8]{0} %x, f32[8]{0} %x)
+"""
+    hits = find_collectives(hlo)
+    assert sorted(hits) == ["all-gather", "all-reduce-start",
+                            "collective-permute-start", "recv", "send"]
 
 
 def test_frame_sharded_streaming_carry():

@@ -113,9 +113,8 @@ def role_hlo_audit():
     args = [stx._mesh_put(w, stx._in_specs[0]),
             stx._mesh_put(fidx, stx._in_specs[-1])]
     hlo = stx._sharded.lower(*args).compile().as_text()
-    pat = re.compile(r"=\s*\S*\s*(all-reduce|all-gather|collective-permute"
-                     r"|all-to-all|reduce-scatter|collective-broadcast)\(")
-    hits = pat.findall(hlo)
+    from dvbt2ll_tpu.parallel.sharding import find_collectives
+    hits = find_collectives(hlo)
     print(json.dumps({"role": "hlo_audit", "devices": 8,
                       "hlo_ops": hlo.count("\n"),
                       "collectives": len(hits),

@@ -4,7 +4,7 @@ The xprof trace of the 32K step (BENCH.md) shows ~17% of device time in
 the output assembly: the GI concatenate, the P1 concatenate and the
 final real/imag stack each rewrite an output-sized buffer
 (pad+maximum fusions).  Candidate V1 assembles the final float32
-(B, samples, 2) in ONE pass: bitcast the IFFT result complex64 ->
+(B, samples, 2) in ONE pass: stack(real, imag) of the IFFT result into
 (..., 2) float32 pairs, then a single gather whose index map encodes the
 guard-interval wrap, with a select folding in the constant P1 prefix.
 
@@ -31,6 +31,9 @@ def v0(plan, grids):
     return jnp.stack([jnp.real(out), jnp.imag(out)], axis=-1)
 
 
+P1_SAMPLES = 2048  # the P1 preamble is always 2048 samples in T2
+
+
 def make_v1(plan):
     cfg = plan.cfg
     c = _consts(plan)
@@ -42,12 +45,13 @@ def make_v1(plan):
     jj = np.arange(body, dtype=np.int64)
     sym, k = jj // (fft + gi), jj % (fft + gi)
     src = sym * fft + (k + fft - gi) % fft
-    map_full = np.concatenate([np.zeros(2048, np.int64), src]).astype(np.int32)
-    mask = np.zeros(2048 + body, bool)
-    mask[:2048] = True
-    p1 = np.zeros((2048 + body, 2), np.float32)
-    p1[:2048, 0] = np.real(c["p1"])
-    p1[:2048, 1] = np.imag(c["p1"])
+    map_full = np.concatenate(
+        [np.zeros(P1_SAMPLES, np.int64), src]).astype(np.int32)
+    mask = np.zeros(P1_SAMPLES + body, bool)
+    mask[:P1_SAMPLES] = True
+    p1 = np.zeros((P1_SAMPLES + body, 2), np.float32)
+    p1[:P1_SAMPLES, 0] = np.real(c["p1"])
+    p1[:P1_SAMPLES, 1] = np.imag(c["p1"])
     eq = c["eq"]
 
     def fn(grids):
