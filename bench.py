@@ -106,6 +106,31 @@ def _named_config(name):
             l1_constellation=L1Constellation.QAM16,
             fec_blocks=1, ti_blocks=1, t2_frames=2,
             num_data_symbols=16).validate()
+    if name == "qpsk_short_c13":
+        # the parity-interleave-only work loop: QPSK at rates 1/3 and 2/5
+        # takes the dedicated branch with parity interleaving but NO
+        # column twist (lib/interleavermod_bc_impl.cc:291-314) — the last
+        # distinct mapper branch without a reference-generated vector
+        # (SHORT C1_3 is ctor-safe in the reference, unlike C1_2/C3_4/C5_6)
+        return T2Config(
+            frame_size=FrameSize.SHORT, code_rate=CodeRate.C1_3,
+            constellation=Constellation.QPSK, rotation=Rotation.OFF,
+            fft_size=FFTSize.FFT_2K, guard_interval=GuardInterval.GI_1_8,
+            pilot_pattern=PilotPattern.PP1,
+            l1_constellation=L1Constellation.BPSK,
+            fec_blocks=2, ti_blocks=1, t2_frames=2,
+            num_data_symbols=8).validate()
+    if name == "ti_off_4k":
+        # time-interleaver bypass: ti_blocks=0 keeps the cell interleaver
+        # (same first bit-reversed shift for every FEC frame) but skips
+        # the row/column transpose (lib/framemapperfint_cc_impl.cc:
+        # 1108-1119 partition, :1999-2028 bypass copy)
+        return T2Config(
+            frame_size=FrameSize.SHORT, code_rate=CodeRate.C4_5,
+            constellation=Constellation.QAM256, rotation=Rotation.ON,
+            fft_size=FFTSize.FFT_4K, guard_interval=GuardInterval.GI_1_32,
+            pilot_pattern=PilotPattern.PP7, fec_blocks=8, ti_blocks=0,
+            t2_frames=2, num_data_symbols=3).validate()
     if name == "32k_papr_tr":
         # TR-PAPR reserved tones, lib/pilotgenp1insert_cc_impl.cc:2739-2781
         return T2Config(

