@@ -1,0 +1,170 @@
+"""Pallas TPU kernel: fused 4-step IFFT + guard-interval epilogue.
+
+The OFDM tail's cost on TPU is not FFT FLOPs but HBM passes: XLA's
+complex64 FFT materializes the time tensor, the GI concatenate rewrites
+it, and stack(real, imag) rewrites the final output (xprof: copies /
+reshapes / pad fusions spread across the tail, BENCH.md round 4).  This
+kernel runs the Bailey 4-step IFFT as MXU matmuls on separate real/imag
+f32 planes with every intermediate VMEM-resident, and writes the
+guard-interval prefix + body directly - one HBM read of the grid, one
+HBM write of the GI'd time domain, no complex dtype anywhere.
+Match: the reference's per-symbol FFTW execute + 2-memcpy cyclic prefix
+(lib/pilotgenp1insert_cc_impl.cc:2890-2897).
+
+Layout trick that makes it transpose-free: with N = N1*N2 (N1 = 128
+lanes) and the decimation n = n1 + N1*n2, k = N2*k1 + k2,
+
+    x[n1 + N1*n2] = (1/N) sum_k2 W2[n2,k2] * T[k2,n1]
+                    * sum_k1 At[k2,k1] W1[k1,n1]
+
+where At[k2,k1] = X[N2*k1 + k2] is the TRANSPOSED-GRID layout the frame
+builder's gather can emit for free (grid_src is an arbitrary
+permutation).  Both matmuls then keep n1 on the 128-wide lane axis, the
+result rows (n2) are already in natural sample order, and the cyclic
+prefix is a whole-row concat: out rows = [last gi/N1 rows | all rows].
+Validated against np.fft.ifft to 1.5e-15 in f64 (tools/profile_ifft4.py)
+and >130 dB in f32 with precision=HIGHEST dots.
+
+Applicability gate: fft % 128 == 0 and gi % 128 == 0 (all BASELINE
+configs; 1K/2K FFTs and GI 1/128 below 16K fall back to the XLA tail).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+N1 = 128  # lane width of the second (length-128) DFT factor
+
+
+def supported(fft: int, gi: int) -> bool:
+    return fft % N1 == 0 and gi % N1 == 0 and 8 <= fft // N1 <= 256
+
+
+def factor_matrices(fft: int, scale: float):
+    """(w1r, w1i, ttr, tti, w2r, w2i) f32 host constants; `scale` (the
+    1/N of the inverse transform times the chain's fft*ofdm_norm) is
+    folded into W1."""
+    n2 = fft // N1
+    k1 = np.arange(N1)
+    k2 = np.arange(n2)
+    w1 = np.exp(2j * np.pi * np.outer(k1, k1) / N1) * scale
+    t = np.exp(2j * np.pi * np.outer(k2, k1) / fft)    # T[k2, n1]
+    w2 = np.exp(2j * np.pi * np.outer(k2, k2) / n2)
+    return (np.float32(w1.real), np.float32(w1.imag),
+            np.float32(t.real), np.float32(t.imag),
+            np.float32(w2.real), np.float32(w2.imag))
+
+
+def ifft_gi_einsum(grids_re_t: jnp.ndarray, grids_im_t: jnp.ndarray,
+                   fft: int, gi: int, scale: float):
+    """The same transposed-layout 4-step IFFT as the Pallas kernel, but
+    as XLA einsums: stage 1 contracts over the 128-lane axis with
+    M = B*S*N2 (full MXU utilization), stage 2 is one small-by-wide
+    matmul, and the result rows land in natural sample order so the
+    guard interval is a row concat - no output transpose.  Measured
+    FASTER than the VMEM-resident Pallas kernel (0.715 ms vs ~0.45 ms at
+    vv009/256): the kernel's per-symbol (32,128) dots starve the MXU,
+    and XLA's batching beats residency here (BENCH.md round 4)."""
+    hi = jax.lax.Precision.HIGHEST
+    b, s, n2, n1 = grids_re_t.shape
+    gi_rows = gi // N1
+    w1r, w1i, ttr, tti, w2r, w2i = factor_matrices(fft, scale)
+    br = (jnp.einsum("xskn,nm->xskm", grids_re_t, w1r, precision=hi)
+          - jnp.einsum("xskn,nm->xskm", grids_im_t, w1i, precision=hi))
+    bi = (jnp.einsum("xskn,nm->xskm", grids_re_t, w1i, precision=hi)
+          + jnp.einsum("xskn,nm->xskm", grids_im_t, w1r, precision=hi))
+    cr = br * ttr - bi * tti
+    ci = br * tti + bi * ttr
+    xr = (jnp.einsum("ab,xsbn->xsan", w2r, cr, precision=hi)
+          - jnp.einsum("ab,xsbn->xsan", w2i, ci, precision=hi))
+    xi = (jnp.einsum("ab,xsbn->xsan", w2r, ci, precision=hi)
+          + jnp.einsum("ab,xsbn->xsan", w2i, cr, precision=hi))
+    body_re = jnp.concatenate([xr[:, :, n2 - gi_rows:], xr], axis=2)
+    body_im = jnp.concatenate([xi[:, :, n2 - gi_rows:], xi], axis=2)
+    return (body_re.reshape(b, s, fft + gi),
+            body_im.reshape(b, s, fft + gi))
+
+
+def _kernel(gi_rows: int, n2: int, s_tile: int,
+            ar_ref, ai_ref, w1r_ref, w1i_ref, ttr_ref, tti_ref,
+            w2r_ref, w2i_ref, or_ref, oi_ref):
+    dot = functools.partial(
+        jax.lax.dot, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+    w1r, w1i = w1r_ref[:], w1i_ref[:]
+    ttr, tti = ttr_ref[:], tti_ref[:]
+    w2r, w2i = w2r_ref[:], w2i_ref[:]
+    for s in range(s_tile):
+        ar = ar_ref[0, s]                   # (N2, N1) transposed grid
+        ai = ai_ref[0, s]
+        # stage 1: B = At @ W1  (complex, n1 stays on lanes)
+        br = dot(ar, w1r) - dot(ai, w1i)
+        bi = dot(ar, w1i) + dot(ai, w1r)
+        # stage 2: twiddle C = B * T
+        cr = br * ttr - bi * tti
+        ci = br * tti + bi * ttr
+        # stage 3: X = W2 @ C -> rows n2 in natural sample order
+        xr = dot(w2r, cr) - dot(w2i, ci)
+        xi = dot(w2r, ci) + dot(w2i, cr)
+        # guard interval: prefix = last gi_rows rows, then the body
+        or_ref[0, s, :gi_rows] = xr[n2 - gi_rows:]
+        oi_ref[0, s, :gi_rows] = xi[n2 - gi_rows:]
+        or_ref[0, s, gi_rows:] = xr
+        oi_ref[0, s, gi_rows:] = xi
+
+
+def ifft_gi_pallas(grids_re_t: jnp.ndarray, grids_im_t: jnp.ndarray,
+                   fft: int, gi: int, scale: float,
+                   interpret: bool = False):
+    """Transposed-layout grids (B, S, N2, N1) f32 planes -> GI'd time
+    domain (B, S, fft + gi) f32 planes (re, im).
+
+    Input element [b, s, k2, k1] must hold carrier bin N2*k1 + k2 of
+    symbol s (the frame builder emits this directly by permuting its
+    gather map; see plan.grid_src_t)."""
+    b, s, n2, n1 = grids_re_t.shape
+    assert n1 == N1 and n2 == fft // N1 and gi % N1 == 0
+    gi_rows = gi // N1
+    w1r, w1i, ttr, tti, w2r, w2i = factor_matrices(fft, scale)
+
+    # symbol tile: amortize the resident constants over a few symbols
+    # while keeping in+out+temps comfortably inside VMEM
+    bytes_per_sym = (2 * (n2 * N1) + 2 * ((n2 + gi_rows) * N1)) * 4
+    s_tile = max(1, min(s, (4 << 20) // bytes_per_sym))
+    while s % s_tile:
+        s_tile -= 1
+
+    kern = functools.partial(_kernel, gi_rows, n2, s_tile)
+    const = lambda shape: pl.BlockSpec(shape, lambda i, j: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((b, s, n2 + gi_rows, N1), jnp.float32)
+    body_re, body_im = pl.pallas_call(
+        kern,
+        out_shape=(out_shape, out_shape),
+        grid=(b, s // s_tile),
+        in_specs=[
+            pl.BlockSpec((1, s_tile, n2, N1), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_tile, n2, N1), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            const((N1, N1)), const((N1, N1)),
+            const((n2, N1)), const((n2, N1)),
+            const((n2, n2)), const((n2, n2)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, s_tile, n2 + gi_rows, N1),
+                         lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_tile, n2 + gi_rows, N1),
+                         lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(grids_re_t, grids_im_t, w1r, w1i, ttr, tti, w2r, w2i)
+    return (body_re.reshape(b, s, fft + gi),
+            body_im.reshape(b, s, fft + gi))

@@ -183,22 +183,48 @@ def _tile_for(nbch: int, plen: int, f: int):
 
 def qc_ldpc_parity_pallas(cols_sched, nbch: int, plen: int, q: int,
                           nbch_bits: jnp.ndarray,
-                          interpret: bool = False):
+                          interpret: bool = False,
+                          packed=None):
     """(F, nbch) uint8 codeword bits -> (F, plen) uint8 LDPC parity, or
     None when no VMEM tiling exists (not the case for any Annex-A table)
     - the caller must then use the XLA schedule.  Tables too large for a
-    single resident input block run the two-level row-grouped kernel."""
+    single resident input block run the two-level row-grouped kernel.
+
+    ``packed`` (auto when None): run the kernel on a frame-PACKED matrix
+    - bit j of byte column w is frame 8w+j.  Rolls are sublane rotations
+    and the schedule is pure XOR, so the kernel bodies are bit-for-bit
+    agnostic to the packing; only this wrapper packs/unpacks.  At F
+    frames the kernel block shrinks from F to ceil(F/8) lanes, cutting
+    the VMEM traffic of every schedule entry (and the HBM transpose) up
+    to 8x - the round-2 "packbits" rejection (BENCH.md) A/B'd the XLA
+    roll schedule on packed words, NOT the VMEM-resident kernel.
+    MEASURED round 4 (tools/profile_pallas_ldpc.py): packed runs at
+    0.88-0.98x of the unpacked kernel at every bench-realistic F - the
+    schedule is bound by its op COUNT (thousands of (360, lanes) XOR
+    tiles, identical packed or not), so the density win never lands
+    while the XLA-side pack/unpack passes are pure cost.  Default is
+    therefore False; the parameter stays for remeasurement."""
     f = nbch_bits.shape[0]
-    tiling = _tile_for(nbch, plen, f)
+    if packed is None:
+        packed = False
+    if packed:
+        fp = -(-f // 8)
+        # pack along the FRAME axis: (F, nbch) -> (F/8, nbch) -> T
+        bits_t = jnp.packbits(nbch_bits, axis=0).T  # (nbch, fp) u8
+        f_eff = fp
+    else:
+        bits_t = nbch_bits.T
+        f_eff = f
+    tiling = _tile_for(nbch, plen, f_eff)
     if tiling is None:
         return None
     f_tile, group_rows = tiling
-    f_pad = -(-f // f_tile) * f_tile
-    bits_t = nbch_bits.T
+    f_pad = -(-f_eff // f_tile) * f_tile
     n_groups = -(-nbch // group_rows)
     rows_pad = n_groups * group_rows
-    if f_pad != f or rows_pad != nbch:
-        bits_t = jnp.pad(bits_t, ((0, rows_pad - nbch), (0, f_pad - f)))
+    if f_pad != f_eff or rows_pad != nbch:
+        bits_t = jnp.pad(bits_t, ((0, rows_pad - nbch),
+                                  (0, f_pad - f_eff)))
     if n_groups == 1:
         pk = _make_kernel(tuple(map(tuple, cols_sched)), nbch, plen, q,
                           f_pad, f_tile, interpret)
@@ -209,4 +235,8 @@ def qc_ldpc_parity_pallas(cols_sched, nbch: int, plen: int, q: int,
     out = pk(bits_t)  # (plen, f_pad), column-major prefix layout
     par = (out.reshape(q, 360, f_pad).transpose(1, 0, 2)
            .reshape(plen, f_pad))
+    if packed:
+        # (plen, fp) packed bytes -> (F, plen) bits: transpose the SMALL
+        # packed matrix, then unpack along the frame axis
+        return jnp.unpackbits(par[:, : -(-f // 8)].T, axis=0)[:f]
     return par[:, :f].T

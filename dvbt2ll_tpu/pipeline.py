@@ -32,13 +32,19 @@ def _plp_consts(pp: PlpPlan):
     if c is None:
         c = {
             "headers": np.asarray(pp.headers, np.uint8),
+            "headers_b": np.packbits(np.asarray(pp.headers, np.uint8),
+                                     axis=1),
             "crc_matrix": np.asarray(pp.crc_matrix, np.int8),
             "scramble": np.asarray(pp.scramble, np.uint8),
+            "scramble_b": np.packbits(np.asarray(pp.scramble, np.uint8)),
             "bch_matrix": np.asarray(pp.bch_matrix, np.int8),
             "mapper_perm": np.asarray(pp.mapper_perm, np.int32),
             "ti_perm": np.asarray(pp.ti_perm, np.int32),
             "inband": (None if pp.bb.inband_bits is None
                        else np.asarray(pp.bb.inband_bits, np.uint8)),
+            "inband_b": (None if pp.bb.inband_bits is None
+                         else np.packbits(
+                             np.asarray(pp.bb.inband_bits, np.uint8))),
         }
         pp._trace_consts = c
     return c
@@ -64,6 +70,39 @@ def _consts(plan: TransmitPlan):
     return c
 
 
+def _planar_consts(plan: TransmitPlan):
+    """Planar-tail constants (host numpy): re/im planes of every complex
+    constant plus the TRANSPOSED-GRID gather map and pilot plane for the
+    Pallas IFFT+GI kernel (ops/ifft_pallas.py): element [s, k2, k1] of
+    the transposed layout holds carrier bin N2*k1 + k2."""
+    c = getattr(plan, "_planar_consts_cache", None)
+    if c is None:
+        from .ops.ifft_pallas import N1
+        cc = _consts(plan)
+        fft = plan.cfg.fft_points
+        n2 = fft // N1
+        # natural (S, fft) -> transposed (S, n2, N1)
+        tidx = (n2 * np.arange(N1)[None, :]
+                + np.arange(n2)[:, None])          # (n2, N1)
+        c = {
+            "l1pre_re": np.float32(cc["l1pre"].real),
+            "l1pre_im": np.float32(cc["l1pre"].imag),
+            "l1post_re": np.float32(cc["l1post_all"].real),
+            "l1post_im": np.float32(cc["l1post_all"].imag),
+            "dummy_re": np.float32(cc["dummy"].real),
+            "dummy_im": np.float32(cc["dummy"].imag),
+            "p1_re": np.float32(cc["p1"].real),
+            "p1_im": np.float32(cc["p1"].imag),
+            "grid_src_t": np.ascontiguousarray(cc["grid_src"][:, tidx]),
+            "pilot_t": np.ascontiguousarray(cc["pilot_plane"][:, tidx]),
+            "eq_t": (None if cc["eq"] is None
+                     else np.ascontiguousarray(
+                         np.broadcast_to(cc["eq"], (1, fft))[:, tidx])),
+        }
+        plan._planar_consts_cache = c
+    return c
+
+
 def bb_and_fec(pp: PlpPlan, ts_padded: jnp.ndarray) -> jnp.ndarray:
     """TS bytes (187 carry + fresh) -> LDPC frame bits (F, frame_bits) u8.
 
@@ -79,67 +118,72 @@ def bb_and_fec(pp: PlpPlan, ts_padded: jnp.ndarray) -> jnp.ndarray:
     bb = pp.bb
     c = _plp_consts(pp)
     f, p = pp.fec_frames, pp.n_packets
-    # Unpack bits on PACKET-ALIGNED 2D rows (a flat 1D unpackbits lowers to
-    # a layout the TPU vectorizes poorly, and row alignment turns the CRC
-    # sync-byte substitution into a column concat instead of a 134k-element
-    # bit scatter: 3.5x faster front-end measured at batch 256).
+    # The TS->DF re-chunking (packet-major -> frame-major) stays in the
+    # BYTE domain: packet rows and data fields are both whole numbers of
+    # bytes, so the flatten/reshape shuffles move 8x fewer bytes than
+    # the former bit-domain assembly (xprof round 4: the bit-domain
+    # flatten+reshape+relayout chain alone cost ~0.43 ms at batch 256).
+    # Bits are only unpacked (a) per packet for the CRC-8 matmul input
+    # and (b) once per FRAME-ALIGNED kbch row after scrambling - wide 2D
+    # rows both times (a flat 1D unpackbits lowers poorly on TPU).
     nb = ts_padded.shape[0]
     nfresh = nb - 187
 
     if bb.hieff:
         # payload = fresh packets with the sync column removed
-        rows = jnp.unpackbits(ts_padded[187:].reshape(p, 188), axis=1)
-        stream = rows[:, 8:].reshape(-1)
+        stream_b = ts_padded[187:].reshape(p, 188)[:, 1:].reshape(-1)
     elif p == 0:
         # window so short (or phase so late) that it contains no sync slot:
         # the whole payload passes through unmodified
-        stream = jnp.unpackbits(ts_padded[187:])[: nfresh * 8]
+        stream_b = ts_padded[187:]
     else:
         # o = fresh-stream index of the first sync slot: 0 for packet-
         # aligned (phase-0) plans, (188 - start_phase) % 188 for drifted
         # per-phase plans (BBFramePlan.start_phase)
         o = bb.sync_offset
-        aligned = jnp.pad(ts_padded[187 + o:], (0, p * 188 - (nfresh - o)))
-        rows = jnp.unpackbits(aligned.reshape(p, 188), axis=1)  # (p,1504)
+        aligned = jnp.pad(
+            ts_padded[187 + o:], (0, p * 188 - (nfresh - o))).reshape(p, 188)
         # sync slot i sits at fresh byte o + 188*i; its CRC covers the 187
-        # payload bytes before it, which for i=0 is padded[o : o+187] (the
-        # carry window tail) and for i>0 is aligned row i-1 minus its sync
-        # slot - the SAME unpacked rows shifted by one, so one unpack feeds
-        # both the CRC inputs and the output stream
-        ctx0 = jnp.unpackbits(ts_padded[o : o + 187])
-        pkt = jnp.concatenate(
-            [ctx0[None], rows[:-1, 8:]], axis=0).astype(jnp.int8)
+        # payload bytes before it: for i=0 the carry-window tail, for i>0
+        # packet row i-1 minus its sync slot
+        pkt_b = jnp.concatenate(
+            [ts_padded[o : o + 187][None], aligned[:-1, 1:]], axis=0)
+        pkt = jnp.unpackbits(pkt_b, axis=1).astype(jnp.int8)  # (p, 1496)
         crc = (jnp.matmul(pkt, c["crc_matrix"],
                           preferred_element_type=jnp.int32) & 1
                ).astype(jnp.uint8)
-        groups = jnp.concatenate([crc, rows[:, 8:]], axis=1).reshape(-1)
+        crc_byte = jnp.packbits(crc, axis=1)                  # (p, 1)
+        groups = jnp.concatenate([crc_byte, aligned[:, 1:]],
+                                 axis=1).reshape(-1)
         if o:
-            head = jnp.unpackbits(ts_padded[187 : 187 + o])
-            stream = jnp.concatenate([head, groups])[: nfresh * 8]
+            stream_b = jnp.concatenate(
+                [ts_padded[187 : 187 + o], groups])[:nfresh]
         else:
-            stream = groups[: nfresh * 8]
+            stream_b = groups[:nfresh]
 
+    kbch_b = cfg.kbch // 8
     if not bb.inband:
-        df = stream.reshape(f, cfg.kbch - 80)
-        kbch_bits = jnp.concatenate([c["headers"], df], axis=1)
+        df = stream_b.reshape(f, kbch_b - 10)
+        kb_bytes = jnp.concatenate([c["headers_b"], df], axis=1)
     else:
         # first frame of each fec_blocks group: 13 fewer payload bytes,
         # static 104-bit in-band field appended (reference :690-693)
         k = cfg.fec_blocks
         b = f // k
-        d_bits = cfg.kbch - 80
-        g_bits = k * d_bits - 104
-        groups = stream.reshape(b, g_bits)
-        hdrs = c["headers"].reshape(b, k, 80)
-        ib = jnp.tile(c["inband"][None, :], (b, 1))
+        d_bytes = kbch_b - 10
+        g_bytes = k * d_bytes - 13
+        groups = stream_b.reshape(b, g_bytes)
+        hdrs = c["headers_b"].reshape(b, k, 10)
+        ib = jnp.tile(c["inband_b"][None, :], (b, 1))
         kb0 = jnp.concatenate(
-            [hdrs[:, 0], groups[:, : d_bits - 104], ib], axis=1)
-        rest = groups[:, d_bits - 104:].reshape(b, k - 1, d_bits)
+            [hdrs[:, 0], groups[:, : d_bytes - 13], ib], axis=1)
+        rest = groups[:, d_bytes - 13:].reshape(b, k - 1, d_bytes)
         kbr = jnp.concatenate([hdrs[:, 1:], rest], axis=2)
-        kbch_bits = jnp.concatenate(
-            [kb0[:, None], kbr], axis=1).reshape(f, cfg.kbch)
+        kb_bytes = jnp.concatenate(
+            [kb0[:, None], kbr], axis=1).reshape(f, kbch_b)
 
-    kbch_bits = kbch_bits ^ c["scramble"][None, :]
+    kb_bytes = kb_bytes ^ c["scramble_b"][None, :]
+    kbch_bits = jnp.unpackbits(kb_bytes, axis=1)          # (f, kbch)
 
     bch_par = (jnp.matmul(kbch_bits.astype(jnp.int8), c["bch_matrix"],
                           preferred_element_type=jnp.int32) & 1).astype(
@@ -191,22 +235,27 @@ def bb_and_fec(pp: PlpPlan, ts_padded: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([nbch_bits, ldpc_par], axis=1)
 
 
-def map_cells(pp: PlpPlan, frame_bits: jnp.ndarray) -> jnp.ndarray:
-    """LDPC frames -> constellation cells (F, cell_size) c64.
+def map_cells_planes(pp: PlpPlan, frame_bits: jnp.ndarray):
+    """LDPC frames -> constellation cell I/Q planes ((F, cell),(F, cell)).
 
     The gray-coded square QAM of EN 302 755 section 6.2 has the closed
     form A = s0*(2^(h-1) + s1*(2^(h-2) + ... + s_(h-1))) per axis with
     s_k = 1-2b_k (I from even cell-word bits, Q from odd), verified
     against the reference's LUTs (lib/interleavermod_bc_impl.cc:169-253)
     in tests.  Evaluating it elementwise keeps the mapping on the VPU -
-    a 2^mod-entry complex LUT gather is ~15x slower on TPU.
+    a 2^mod-entry complex LUT gather is ~15x slower on TPU.  Planes stay
+    separate so the planar tail never materializes complex64.
     """
     cfg = pp.cfg
     c = _plp_consts(pp)
     mod = cfg.mod_bits
     h = mod // 2
     f = frame_bits.shape[0]
-    cell_bits = frame_bits[:, c["mapper_perm"]].reshape(f, cfg.cell_size, mod)
+    # 2D index -> the gather lands directly in (F, cell, mod) shape: the
+    # separate reshape used to cost a physical re-tile of the whole bit
+    # tensor (xprof copy.142, 0.14 ms at batch 256)
+    perm2d = c["mapper_perm"].reshape(cfg.cell_size, mod)
+    cell_bits = frame_bits[:, perm2d]
 
     def axis_level(bv):  # bv: (F, CS, h) u8 bits, MSB first
         # A = s0*(2^(h-1) + s1*(2^(h-2) + ...)) with s=1-2b expands to
@@ -230,8 +279,14 @@ def map_cells(pp: PlpPlan, frame_bits: jnp.ndarray) -> jnp.ndarray:
         i_rot = i_level * cos_t - q_level * sin_t
         q_rot = i_level * sin_t + q_level * cos_t
         # cyclic Q delay of one cell within the codeword
-        return jax.lax.complex(i_rot, jnp.roll(q_rot, 1, axis=1))
-    return jax.lax.complex(i_level, q_level)
+        return i_rot, jnp.roll(q_rot, 1, axis=1)
+    return i_level, q_level
+
+
+def map_cells(pp: PlpPlan, frame_bits: jnp.ndarray) -> jnp.ndarray:
+    """LDPC frames -> constellation cells (F, cell_size) c64."""
+    i_p, q_p = map_cells_planes(pp, frame_bits)
+    return jax.lax.complex(i_p, q_p)
 
 
 def ti_payload(pp: PlpPlan, cells: jnp.ndarray, batch: int) -> jnp.ndarray:
@@ -291,6 +346,67 @@ def modulate(plan: TransmitPlan, grids: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([p1, body], axis=1)
 
 
+def transmit_step_iq_planar(plan: TransmitPlan, ts_padded, frame_idx0,
+                            interpret: bool = False,
+                            impl: str = "einsum") -> jnp.ndarray:
+    """The planar-f32 fast tail: identical math to transmit_step_iq but
+    complex64 never materializes - cells, frame grids and the OFDM tail
+    stay as separate re/im f32 planes, the frame builder gathers straight
+    into the Pallas kernel's transposed layout, and the fused 4-step
+    IFFT+GI kernel (ops/ifft_pallas.py) writes the guard-interval'd time
+    domain in one VMEM-resident pass.  Used by Transmitter when
+    use_pallas is on and the (fft, gi) geometry is supported."""
+    from .ops.ifft_pallas import ifft_gi_pallas
+
+    cfg = plan.cfg
+    c = _consts(plan)
+    pc = _planar_consts(plan)
+    b = plan.batch_frames
+
+    res, ims = [], []
+    for pp, w in zip(plan.plps, _as_windows(plan, ts_padded)):
+        frame_bits = bb_and_fec(pp, w)
+        i_p, q_p = map_cells_planes(pp, frame_bits)
+        res.append(i_p.reshape(b, pp.cfg.stream_cells))
+        ims.append(q_p.reshape(b, pp.cfg.stream_cells))
+    pay_re = res[0] if len(res) == 1 else jnp.concatenate(res, axis=1)
+    pay_im = ims[0] if len(ims) == 1 else jnp.concatenate(ims, axis=1)
+
+    idx = (frame_idx0 + jnp.arange(b)) % cfg.t2_frames
+    zeros = jnp.zeros((b, cfg.n_fc - cfg.c_fc + 1), jnp.float32)
+    seq_re = jnp.concatenate([
+        jnp.tile(pc["l1pre_re"][None, :], (b, 1)),
+        jnp.asarray(pc["l1post_re"])[idx], pay_re,
+        jnp.tile(pc["dummy_re"][None, :], (b, 1)), zeros], axis=1)
+    seq_im = jnp.concatenate([
+        jnp.tile(pc["l1pre_im"][None, :], (b, 1)),
+        jnp.asarray(pc["l1post_im"])[idx], pay_im,
+        jnp.tile(pc["dummy_im"][None, :], (b, 1)), zeros], axis=1)
+
+    src = pc["grid_src_t"]
+    gather = jnp.where(src >= 0, src, seq_re.shape[1] - 1)
+    g_re = seq_re[:, gather] + pc["pilot_t"]        # (B, S, n2, N1)
+    g_im = seq_im[:, gather]
+    if pc["eq_t"] is not None:
+        g_re = g_re * pc["eq_t"]
+        g_im = g_im * pc["eq_t"]
+
+    if impl == "einsum":
+        from .ops.ifft_pallas import ifft_gi_einsum
+        body_re, body_im = ifft_gi_einsum(
+            g_re, g_im, cfg.fft_points, cfg.guard_samples,
+            cfg.ofdm_normalization)
+    else:
+        body_re, body_im = ifft_gi_pallas(
+            g_re, g_im, cfg.fft_points, cfg.guard_samples,
+            cfg.ofdm_normalization, interpret=interpret)
+    p1r = jnp.tile(pc["p1_re"][None, :], (b, 1))
+    p1i = jnp.tile(pc["p1_im"][None, :], (b, 1))
+    out_re = jnp.concatenate([p1r, body_re.reshape(b, -1)], axis=1)
+    out_im = jnp.concatenate([p1i, body_im.reshape(b, -1)], axis=1)
+    return jnp.stack([out_re, out_im], axis=-1)
+
+
 def _as_windows(plan: TransmitPlan, ts_padded) -> List[jnp.ndarray]:
     if isinstance(ts_padded, (list, tuple)):
         ws = list(ts_padded)
@@ -324,6 +440,10 @@ def transmit_step_iq(plan: TransmitPlan, ts_padded,
     (callers can .view(complex64) on the host side).
     """
     out = transmit_step(plan, ts_padded, frame_idx0)
+    # stack(real, imag), NOT a c64->f32 bitcast view: on TPU complex64 is
+    # not stored as interleaved pairs, so the "layout-free" view forces a
+    # relayout that measured 0.65x end-to-end (2298 -> 1482 Msamp/s,
+    # round 4); the explicit stack is the fast formulation here.
     return jnp.stack([jnp.real(out), jnp.imag(out)], axis=-1)
 
 
@@ -355,6 +475,9 @@ class Transmitter:
             use_pallas = platform not in ("cpu", "gpu", "cuda", "rocm")
         for pp in self.plan.plps:
             pp.use_pallas = use_pallas
+        from .ops.ifft_pallas import supported as _ifft_ok
+        self._planar_tail = bool(use_pallas) and _ifft_ok(
+            cfg.fft_points, cfg.guard_samples)
         self._carries = [np.zeros(187, dtype=np.uint8)
                          for _ in self.plan.plps]
         self._frame_idx = 0
@@ -367,7 +490,9 @@ class Transmitter:
         for pp in self.plan.plps:
             _plp_consts(pp)
         _consts(self.plan)
-        self._step = jax.jit(functools.partial(transmit_step_iq, self.plan))
+        self._step = jax.jit(functools.partial(
+            transmit_step_iq_planar if self._planar_tail
+            else transmit_step_iq, self.plan))
 
     @property
     def bytes_per_step(self) -> int:

@@ -354,18 +354,23 @@ def test_papr_ace_signalling_only():
     assert not np.allclose(tx_a(ts), tx_b(ts))  # L1 papr field differs
 
 
-def test_non_t2_preamble_smoke():
-    """S1=NON_T2 (FEF-part P1): the P1 pattern changes, chain stays exact."""
+def test_non_t2_preamble_is_fef_only():
+    """S1=NON_T2 labels FEF parts, not T2 frames: validate() rejects it as
+    a transmitter preamble (round-4 gating), and the FEF-part P1 the
+    chain DOES emit with S1=NON_T2 (tables/pilots.py fef_part) differs
+    from the T2 frame's P1."""
     import dataclasses
     from dvbt2ll_tpu.config import Preamble, vv009_config
     base = vv009_config()
-    cfg = dataclasses.replace(base, preamble=Preamble.NON_T2).validate()
-    assert _snr_db(cfg, seed=83) > 100.0
-    tx_a = Transmitter(cfg, 1, strict=False)
-    tx_b = Transmitter(base, 1, strict=False)
-    ts = synthetic_ts(tx_a.bytes_per_step, seed=83)
-    a, b = tx_a(ts), tx_b(ts)
-    assert not np.allclose(a[:, :2048], b[:, :2048])
+    with pytest.raises(ValueError, match="NON_T2"):
+        dataclasses.replace(base, preamble=Preamble.NON_T2).validate()
+    cfg = dataclasses.replace(base, fef_length=4096, fef_interval=2,
+                              ).validate()
+    tx = Transmitter(cfg, 1, strict=False)
+    fef_p1 = tx.plan.fef_part[:2048]
+    ts = synthetic_ts(tx.bytes_per_step, seed=83)
+    frame_p1 = tx(ts)[0, :2048]
+    assert not np.allclose(fef_p1, frame_p1)
 
 
 @pytest.mark.parametrize("bw", [0, 3, 5])

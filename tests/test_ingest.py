@@ -68,6 +68,35 @@ def test_underrun_null_stuffing():
     os.close(fd)
 
 
+def test_backpressure_loses_no_bytes():
+    """When the ring fills mid-pump, the unconsumed chunk tail must be
+    left in the fd, not discarded (regression: the old pump dropped it,
+    losing stream bytes and logging one spurious resync per ring-full
+    event — caught by tools/bench_sustained.py showing ~1 sync error
+    per feeder buffer cycle)."""
+    n_pkts = 256
+    pkts = _make_ts(n_pkts, seed=4)
+    fd = _pipe_with(pkts.tobytes())
+    # ring holds ~44 packets; alternate tiny pumps with partial drains so
+    # the ring is repeatedly full while the pipe still has data
+    with TSIngest(fd=fd, capacity=1 << 13) as ing:
+        got = []
+        while True:
+            rc = ing.pump(budget=1 << 20)
+            w = ing.window(188 * 8, allow_stuffing=False)
+            if w is not None:
+                got.append(w[187:])
+            elif rc < 0:
+                break
+        st = ing.stats
+        assert st["sync_errors"] == 0, st
+        assert st["packets_in"] == n_pkts, st
+    os.close(fd)
+    stream = np.concatenate(got)
+    assert (stream == pkts.reshape(-1)[: stream.size]).all()
+    assert stream.size >= 188 * (n_pkts - 8)  # all but the last window
+
+
 def test_feeds_transmitter():
     """Ingest window drives the jitted chain exactly like the python path."""
     import jax.numpy as jnp

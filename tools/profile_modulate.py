@@ -31,6 +31,14 @@ def v0(plan, grids):
     return jnp.stack([jnp.real(out), jnp.imag(out)], axis=-1)
 
 
+def v2(plan, grids):
+    """modulate + BITCAST view instead of stack(real, imag): IEEE c64 is
+    interleaved (re, im) in memory, so the view is layout-free where the
+    stack rewrites the chain's largest tensor (adopted round 4)."""
+    out = P.modulate(plan, grids)
+    return out.view(jnp.float32).reshape(out.shape + (2,))
+
+
 P1_SAMPLES = 2048  # the P1 preamble is always 2048 samples in T2
 
 

@@ -80,22 +80,35 @@ def main():
 
     xla = jax.jit(_xla_path(cols_sched, nbch, plen, q, f))
     pal = jax.jit(lambda b: qc_ldpc_parity_pallas(
-        cols_sched, nbch, plen, q, b))
+        cols_sched, nbch, plen, q, b, packed=False))
+    pak = jax.jit(lambda b: qc_ldpc_parity_pallas(
+        cols_sched, nbch, plen, q, b, packed=True))
 
     a = np.asarray(xla(nb))
     b = np.asarray(pal(nb))
+    c = np.asarray(pak(nb))
     assert np.array_equal(a, b), "pallas != xla"
-    print("outputs bit-identical", flush=True)
+    assert np.array_equal(a, c), "packed pallas != xla"
+    print("outputs bit-identical (xla == pallas == packed)", flush=True)
 
     tx = _reps(xla, (nb,), reps, iters)
     tp = _reps(pal, (nb,), reps, iters)
-    mx, mp = statistics.median(tx), statistics.median(tp)
-    print(f"xla    median {mx*1e3:7.3f} ms  min {min(tx)*1e3:7.3f}  "
+    tk = _reps(pak, (nb,), reps, iters)
+    mx = statistics.median(tx)
+    mp = statistics.median(tp)
+    mk = statistics.median(tk)
+    print(f"xla      median {mx*1e3:7.3f} ms  min {min(tx)*1e3:7.3f}  "
           f"max {max(tx)*1e3:7.3f}  ({reps} reps x {iters} iters)")
-    print(f"pallas median {mp*1e3:7.3f} ms  min {min(tp)*1e3:7.3f}  "
+    print(f"pallas   median {mp*1e3:7.3f} ms  min {min(tp)*1e3:7.3f}  "
           f"max {max(tp)*1e3:7.3f}")
-    sep = max(tp) < min(tx) or max(tx) < min(tp)
-    print(f"speedup xla/pallas = {mx/mp:.3f}x  "
+    print(f"packed   median {mk*1e3:7.3f} ms  min {min(tk)*1e3:7.3f}  "
+          f"max {max(tk)*1e3:7.3f}")
+    for label, t in (("pallas", tp), ("packed", tk)):
+        sep = max(t) < min(tx) or max(tx) < min(t)
+        print(f"speedup xla/{label} = {mx/statistics.median(t):.3f}x  "
+              f"distributions {'SEPARABLE' if sep else 'OVERLAP'}")
+    sep = max(tk) < min(tp) or max(tp) < min(tk)
+    print(f"speedup pallas/packed = {mp/mk:.3f}x  "
           f"distributions {'SEPARABLE' if sep else 'OVERLAP'}")
 
 
