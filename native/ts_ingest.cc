@@ -124,6 +124,14 @@ int64_t ts_ingest_pump(void* h, uint64_t budget) {
   int64_t pushed = 0;
   while (budget > 0 && ring_free(r) >= kPacket) {
     uint64_t want = budget < sizeof chunk ? budget : sizeof chunk;
+    // never read more than the ring can absorb: bytes written <=
+    // pending_len + bytes read, so capping the read guarantees the
+    // backpressure stash below can never fire mid-chunk.  (It used to:
+    // the break discarded the chunk tail, losing stream bytes whenever
+    // the ring filled — one spurious resync per ring-full event.)
+    uint64_t space = ring_free(r) - static_cast<uint64_t>(r->pending_len);
+    if (space == 0) break;
+    if (want > space) want = space;
     ssize_t n = read(r->fd, chunk, want);
     if (n <= 0) { r->eof = 1; break; }
     budget -= static_cast<uint64_t>(n);
