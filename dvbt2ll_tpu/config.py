@@ -376,6 +376,11 @@ class PLPConfig:
     fec_blocks: int = 8
     ti_blocks: int = 3
     plp_group_id: int = 1
+    # EN 302 755 section 8.3.1: 0 = common PLP (carried once per frame,
+    # placed before the data PLPs), 1 = type-1 data PLP (one contiguous
+    # slice), 2 = type-2 data PLP (split into T2Config.sub_slices
+    # sub-slices interleaved with the other type-2 PLPs)
+    plp_type: int = 1
 
 
 @dataclass(frozen=True)
@@ -413,6 +418,10 @@ class T2Config:
     frequency: int = 729_833_333
     # multi-PLP: empty tuple = single PLP defined by the top-level fields
     plps: tuple = ()
+    # sub-slices per frame for the type-2 PLPs (EN 302 755 section
+    # 8.3.6.3; L1 SUB_SLICES_PER_FRAME).  1 = type-2 PLPs are contiguous
+    # like type 1.
+    sub_slices: int = 1
     # FEF parts (EN 302 755 section 8.4): a FEF part of fef_length samples
     # follows every fef_interval-th T2 frame when fef_length > 0
     fef_length: int = 0
@@ -503,11 +512,63 @@ class T2Config:
 
     @property
     def plp_starts(self) -> tuple:
-        """Cell offset of each PLP's slice within the payload region."""
+        """Cell offset of each PLP's slice within the PLP-major payload
+        stream (the mapper-output order, before frame placement)."""
         starts, pos = [], 0
         for c in self.plp_configs:
             starts.append(pos)
             pos += c.stream_cells
+        return tuple(starts)
+
+    @property
+    def plp_types(self) -> tuple:
+        """PLP_TYPE per PLP (EN 302 755 section 8.3.1); a single-PLP
+        config is one type-1 data PLP like the reference."""
+        return (tuple(p.plp_type for p in self.plps) if self.plps
+                else (1,))
+
+    @property
+    def type_2_start(self) -> int:
+        """Payload-cell address of the first type-2 sub-slice (L1
+        TYPE_2_START); 0 when the frame has no type-2 PLPs, matching the
+        reference's constant (lib/framemapperfint_cc_impl.cc:248)."""
+        if 2 not in self.plp_types:
+            return 0
+        return sum(c.stream_cells
+                   for c, t in zip(self.plp_configs, self.plp_types)
+                   if t != 2)
+
+    @property
+    def sub_slice_interval(self) -> int:
+        """Cells from the start of one sub-slice of a type-2 PLP to the
+        start of its next (L1 SUB_SLICE_INTERVAL, EN 302 755 section
+        8.3.6.3.2): the total type-2 cells of one sub-slice group."""
+        if 2 not in self.plp_types:
+            return 0
+        total2 = sum(c.stream_cells
+                     for c, t in zip(self.plp_configs, self.plp_types)
+                     if t == 2)
+        return total2 // self.sub_slices
+
+    @property
+    def plp_frame_starts(self) -> tuple:
+        """Frame-payload start address of each PLP (L1 PLP_START): common
+        and type-1 PLPs are contiguous in config order; a type-2 PLP's
+        address is that of its FIRST sub-slice (EN 302 755 section
+        7.2.3.9).  Equals plp_starts when no PLP is type 2."""
+        types = self.plp_types
+        if 2 not in types:
+            return self.plp_starts
+        starts = []
+        pos01 = 0
+        pos2 = self.type_2_start
+        for c, t in zip(self.plp_configs, types):
+            if t != 2:
+                starts.append(pos01)
+                pos01 += c.stream_cells
+            else:
+                starts.append(pos2)
+                pos2 += c.stream_cells // self.sub_slices
         return tuple(starts)
 
     @property
@@ -802,6 +863,34 @@ class T2Config:
                 _ = c.fec
                 if c.ti_blocks > c.fec_blocks:
                     raise ValueError("ti_blocks must be <= fec_blocks per PLP")
+            types = [p.plp_type for p in self.plps]
+            if any(t not in (0, 1, 2) for t in types):
+                raise ValueError("plp_type must be 0 (common), 1 or 2")
+            if types != sorted(types):
+                raise ValueError(
+                    "PLPs must be ordered common (type 0), then type 1, "
+                    "then type 2 - the T2 frame carries them in that "
+                    "order (EN 302 755 section 8.3.6)")
+            if types and set(types) == {0}:
+                raise ValueError(
+                    "a frame of only common PLPs is invalid: each common "
+                    "PLP serves a group of data PLPs (EN 302 755 "
+                    "section 8.3.1)")
+        if self.sub_slices < 1 or self.sub_slices >= 1 << 15:
+            raise ValueError("sub_slices must be in 1..32767 (15-bit "
+                             "L1 SUB_SLICES_PER_FRAME)")
+        if self.sub_slices > 1:
+            types = self.plp_types
+            if 2 not in types:
+                raise ValueError(
+                    "sub_slices > 1 requires at least one type-2 PLP "
+                    "(PLPConfig.plp_type=2)")
+            for c, t in zip(self.plp_configs, types):
+                if t == 2 and c.stream_cells % self.sub_slices:
+                    raise ValueError(
+                        f"type-2 PLP payload ({c.stream_cells} cells) "
+                        f"must divide into {self.sub_slices} equal "
+                        f"sub-slices")
         if self.ksig_post > KBCH_1_2:
             raise ValueError("too many PLPs for the L1-post capacity")
         if self.has_fef:

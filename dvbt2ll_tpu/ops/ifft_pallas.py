@@ -42,7 +42,12 @@ N1 = 128  # lane width of the second (length-128) DFT factor
 
 
 def supported(fft: int, gi: int) -> bool:
-    return fft % N1 == 0 and gi % N1 == 0 and 8 <= fft // N1 <= 256
+    """Geometry gate for the planar 4-step tail.  n2 = fft/128 is capped
+    at 64 (<= 8K FFT): the 4-step costs N*(N2+128) MAC/sample, so at 16K
+    and 32K the matmul FLOPs swamp the layout savings - measured flat at
+    32K (2069 -> 2075 Msamp/s) while 4K/8K gained 11-14 % (BENCH.md
+    round 4).  Above the cap the chain keeps the complex jnp.fft tail."""
+    return fft % N1 == 0 and gi % N1 == 0 and 8 <= fft // N1 <= 64
 
 
 def factor_matrices(fft: int, scale: float):

@@ -351,11 +351,14 @@ def transmit_step_iq_planar(plan: TransmitPlan, ts_padded, frame_idx0,
                             impl: str = "einsum") -> jnp.ndarray:
     """The planar-f32 fast tail: identical math to transmit_step_iq but
     complex64 never materializes - cells, frame grids and the OFDM tail
-    stay as separate re/im f32 planes, the frame builder gathers straight
-    into the Pallas kernel's transposed layout, and the fused 4-step
-    IFFT+GI kernel (ops/ifft_pallas.py) writes the guard-interval'd time
-    domain in one VMEM-resident pass.  Used by Transmitter when
-    use_pallas is on and the (fft, gi) geometry is supported."""
+    stay as separate re/im f32 planes, and the frame builder gathers
+    straight into the 4-step IFFT's transposed (N2, 128) layout so the
+    transform's result rows land in natural sample order (GI = whole-row
+    concat, no output transpose; ops/ifft_pallas.py).  impl="einsum"
+    (default, measured faster: XLA batches all symbols into full-MXU
+    matmuls) or "pallas" (VMEM-resident kernel, kept with A/B evidence).
+    Used by Transmitter when use_pallas is on and the (fft, gi) geometry
+    is supported."""
     from .ops.ifft_pallas import ifft_gi_pallas
 
     cfg = plan.cfg

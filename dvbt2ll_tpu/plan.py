@@ -57,6 +57,30 @@ def zigzag_map(cfg: T2Config) -> np.ndarray:
     return z
 
 
+def payload_frame_order(cfg: T2Config) -> Optional[np.ndarray]:
+    """Frame-payload position -> PLP-major payload index (EN 302 755
+    section 8.3.6): common and type-1 PLPs lie contiguous in config
+    order, then the type-2 PLPs interleave as ``sub_slices`` rounds of
+    one sub-slice per PLP.  None when the order is the identity (no
+    type-2 PLPs), so existing single/multi-type-1 plans compose exactly
+    as before."""
+    types = cfg.plp_types
+    if 2 not in types:
+        return None
+    starts = cfg.plp_starts
+    sizes = [c.stream_cells for c in cfg.plp_configs]
+    parts = [np.arange(starts[i], starts[i] + sizes[i], dtype=np.int64)
+             for i, t in enumerate(types) if t != 2]
+    t2 = [i for i, t in enumerate(types) if t == 2]
+    for s in range(cfg.sub_slices):
+        for i in t2:
+            chunk = sizes[i] // cfg.sub_slices
+            parts.append(np.arange(starts[i] + s * chunk,
+                                   starts[i] + (s + 1) * chunk,
+                                   dtype=np.int64))
+    return np.concatenate(parts)
+
+
 def interleaved_stream_to_seq(cfg: T2Config) -> np.ndarray:
     """Compose zig-zag + per-symbol frequency interleaving: position k of the
     symbol-major frequency-interleaved cell stream <- seq index."""
@@ -238,6 +262,13 @@ def build_plan(cfg: T2Config, batch_frames: Optional[int] = None,
     ti_full = np.concatenate(
         [start + pp.ti_perm.astype(np.int64)
          for start, pp in zip(cfg.plp_starts, plan.plps)])
+    # type-2 sub-slicing re-orders the frame's payload region (common /
+    # type-1 first, then interleaved sub-slices); compose it in front of
+    # the per-PLP interleavers so frame position q reads raw mapper cell
+    # ti_full[order[q]]
+    order = payload_frame_order(cfg)
+    if order is not None:
+        ti_full = ti_full[order]
     pay = ((stream_to_seq >= pre_post)
            & (stream_to_seq < pre_post + cfg.total_stream_cells))
     stream_to_seq[pay] = pre_post + ti_full[stream_to_seq[pay] - pre_post]

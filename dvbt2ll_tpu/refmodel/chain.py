@@ -200,8 +200,23 @@ def frame_map(cfg: T2Config, stream_cells, frame_idx: int) -> np.ndarray:
     streams = (list(stream_cells) if isinstance(stream_cells, (list, tuple))
                else [stream_cells])
     assert len(streams) == cfg.num_plp
-    cell_out = np.concatenate([
-        plp_interleave(c, s) for c, s in zip(cfg.plp_configs, streams)])
+    per_plp = [plp_interleave(c, s)
+               for c, s in zip(cfg.plp_configs, streams)]
+    types = cfg.plp_types
+    if 2 not in types:
+        cell_out = np.concatenate(per_plp)
+    else:
+        # EN 302 755 section 8.3.6 frame order: common (type 0) and
+        # type-1 PLPs contiguous, then the type-2 PLPs as sub_slices
+        # rounds of one sub-slice each (independent re-derivation of the
+        # fast path's payload_frame_order composition)
+        chunks = [per_plp[i] for i, t in enumerate(types) if t != 2]
+        t2 = [i for i, t in enumerate(types) if t == 2]
+        for s in range(cfg.sub_slices):
+            for i in t2:
+                n = per_plp[i].size // cfg.sub_slices
+                chunks.append(per_plp[i][s * n : (s + 1) * n])
+        cell_out = np.concatenate(chunks)
 
     # frame assembly (N_P2 == 1 or zig-zag for N_P2 > 1)
     l1pre = l1pre_cells(cfg)

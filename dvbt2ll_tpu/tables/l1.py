@@ -148,7 +148,7 @@ def l1post_fields(cfg: T2Config, frame_idx: int) -> List[Tuple[str, int, int]]:
     group_ids = ([p.plp_group_id for p in cfg.plps] if cfg.plps
                  else [1])
     fields = [
-        ("sub_slices_per_frame", 1, 15),
+        ("sub_slices_per_frame", cfg.sub_slices, 15),
         ("num_plp", cfg.num_plp, 8),
         ("num_aux", 0, 4),
         ("aux_config_rfu", 0, 8),
@@ -164,7 +164,7 @@ def l1post_fields(cfg: T2Config, frame_idx: int) -> List[Tuple[str, int, int]]:
     for i, c in enumerate(cfg.plp_configs):
         fields += [
             ("plp_id", plp_ids[i], 8),
-            ("plp_type", 1, 3),
+            ("plp_type", cfg.plp_types[i], 3),
             ("plp_payload_type", 3, 5),
             ("ff_flag", 0, 1),
             ("first_rf_idx", 0, 3),
@@ -190,8 +190,8 @@ def l1post_fields(cfg: T2Config, frame_idx: int) -> List[Tuple[str, int, int]]:
         ("fef_length_msb", cfg.fef_length >> 22 if v131 else 0, 2),
         ("reserved_2", 0x3FFFFFFF if rsv else 0, 30),
         ("frame_idx", frame_idx, 8),
-        ("sub_slice_interval", 0, 22),
-        ("type_2_start", 0, 22),
+        ("sub_slice_interval", cfg.sub_slice_interval, 22),
+        ("type_2_start", cfg.type_2_start, 22),
         ("l1_change_counter", 0, 8),
         ("start_rf_idx", 0, 3),
         ("reserved_3", 0xFF if rsv else 0, 8),
@@ -199,7 +199,7 @@ def l1post_fields(cfg: T2Config, frame_idx: int) -> List[Tuple[str, int, int]]:
     for i, c in enumerate(cfg.plp_configs):
         fields += [
             ("plp_id_dynamic", plp_ids[i], 8),
-            ("plp_start", cfg.plp_starts[i], 22),
+            ("plp_start", cfg.plp_frame_starts[i], 22),
             ("plp_num_blocks", c.fec_blocks, 10),
             ("reserved_4", 0xFF if rsv else 0, 8),
         ]
