@@ -66,7 +66,8 @@ def factor_matrices(fft: int, scale: float):
 
 
 def ifft_gi_einsum(grids_re_t: jnp.ndarray, grids_im_t: jnp.ndarray,
-                   fft: int, gi: int, scale: float):
+                   fft: int, gi: int, scale: float,
+                   precision=None):
     """The same transposed-layout 4-step IFFT as the Pallas kernel, but
     as XLA einsums: stage 1 contracts over the 128-lane axis with
     M = B*S*N2 (full MXU utilization), stage 2 is one small-by-wide
@@ -75,7 +76,7 @@ def ifft_gi_einsum(grids_re_t: jnp.ndarray, grids_im_t: jnp.ndarray,
     FASTER than the VMEM-resident Pallas kernel (0.715 ms vs ~0.45 ms at
     vv009/256): the kernel's per-symbol (32,128) dots starve the MXU,
     and XLA's batching beats residency here (BENCH.md round 4)."""
-    hi = jax.lax.Precision.HIGHEST
+    hi = precision if precision is not None else jax.lax.Precision.HIGHEST
     b, s, n2, n1 = grids_re_t.shape
     gi_rows = gi // N1
     w1r, w1i, ttr, tti, w2r, w2i = factor_matrices(fft, scale)
