@@ -30,7 +30,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import T2Config
-from ..pipeline import _consts, transmit_step_iq
+from ..pipeline import _consts, transmit_step_iq, transmit_step_iq_planar
 from ..plan import TransmitPlan, build_plan
 
 
@@ -139,6 +139,14 @@ class ShardedTransmitter:
                           not in ("cpu", "gpu", "cuda", "rocm"))
         for pp in self.plan.plps:
             pp.use_pallas = use_pallas
+        # TPU meshes also take the planar-f32 tail, exactly like the
+        # single-chip Transmitter (same function on both sides keeps the
+        # sharded == sequential bit-identity invariant)
+        from ..ops.ifft_pallas import supported as _ifft_ok
+        self._planar_tail = bool(use_pallas) and _ifft_ok(
+            cfg.fft_points, cfg.guard_samples)
+        step_iq = (transmit_step_iq_planar if self._planar_tail
+                   else transmit_step_iq)
         self.frame_shards = frame_shards
         self.mux_per_shard = n_mux // mux_shards
         self.frames_per_step = self.plan.batch_frames * frame_shards
@@ -160,7 +168,7 @@ class ShardedTransmitter:
             *windows, frame_idx0 = args
 
             def one_mux(ws, fi):
-                return transmit_step_iq(
+                return step_iq(
                     plan, list(ws) if len(ws) > 1 else ws[0], fi)
 
             locals_ = tuple(w[:, 0] for w in windows)

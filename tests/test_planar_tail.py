@@ -94,6 +94,54 @@ def test_planar_multi_frame_and_l1post_rotation():
     assert not np.array_equal(got1, np.asarray(fn(w, jnp.int32(0))))
 
 
+def test_planar_step_is_shard_invariant():
+    """The planar step sharded over a frame mesh must be bit-identical
+    to the same planar step run sequentially (the invariant
+    ShardedTransmitter relies on when it swaps in the planar tail on
+    TPU meshes)."""
+    from jax.sharding import PartitionSpec as P
+    from dvbt2ll_tpu.parallel import make_mesh
+    from dvbt2ll_tpu.parallel.sharding import _shard_map, halo_windows
+
+    cfg = vv009_config()
+    tx = Transmitter(cfg, 1, strict=False, use_pallas=False,
+                     allow_phase_drift=True)
+    plan = tx.plan
+    n = tx.bytes_per_step
+    ts = synthetic_ts(4 * n, seed=23)
+
+    # sequential planar: 4 separate steps with the TRUE streaming carry
+    # (the 187-byte window tail feeds the next step's first packet CRC,
+    # exactly what the sharded halo windows deliver)
+    fn = jax.jit(functools.partial(transmit_step_iq_planar, plan))
+    seq = []
+    carry = np.zeros(187, np.uint8)
+    for i in range(4):
+        w = jnp.asarray(np.concatenate([carry, ts[i * n:(i + 1) * n]]))
+        seq.append(np.asarray(fn(w, jnp.int32(i))))
+        carry = ts[(i + 1) * n - 187:(i + 1) * n]
+    seq = np.concatenate(seq, axis=0)
+
+    from jax.sharding import NamedSharding
+    mesh = make_mesh(jax.devices("cpu")[:4], mux=1)
+    wins = halo_windows(ts[None], np.zeros((1, 187), np.uint8), 4)
+    fidx = np.arange(4, dtype=np.int32)[None]
+    wins_d = jax.device_put(
+        wins, NamedSharding(mesh, P("mux", "frame", None)))
+    fidx_d = jax.device_put(fidx, NamedSharding(mesh, P("mux", "frame")))
+
+    def shard_fn(w, fi):
+        return jax.vmap(lambda ww, f: transmit_step_iq_planar(
+            plan, ww[0], f))(w[:, 0][:, None], fi[0])[None]
+
+    sharded_fn = jax.jit(_shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P("mux", "frame", None), P("mux", "frame")),
+        out_specs=P("mux", "frame", None, None, None), check=False))
+    out = np.asarray(sharded_fn(wins_d, fidx_d))[0].reshape(seq.shape)
+    assert np.array_equal(out, seq)
+
+
 def test_unsupported_geometry_keeps_complex_tail():
     """GIs below 128 samples (e.g. 32K GI 1/128's little sibling sizes)
     break the whole-row prefix trick; the Transmitter must auto-gate
