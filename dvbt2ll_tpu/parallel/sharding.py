@@ -30,7 +30,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import T2Config
-from ..pipeline import _consts, transmit_step_iq, transmit_step_iq_planar
+from ..pipeline import _consts, select_step_iq
 from ..plan import TransmitPlan, build_plan
 
 
@@ -139,14 +139,10 @@ class ShardedTransmitter:
                           not in ("cpu", "gpu", "cuda", "rocm"))
         for pp in self.plan.plps:
             pp.use_pallas = use_pallas
-        # TPU meshes also take the planar-f32 tail, exactly like the
-        # single-chip Transmitter (same function on both sides keeps the
-        # sharded == sequential bit-identity invariant)
-        from ..ops.ifft_pallas import supported as _ifft_ok
-        self._planar_tail = bool(use_pallas) and _ifft_ok(
-            cfg.fft_points, cfg.guard_samples)
-        step_iq = (transmit_step_iq_planar if self._planar_tail
-                   else transmit_step_iq)
+        # TPU meshes take the SAME planar/complex tail decision as the
+        # single-chip Transmitter (shared helper keeps the sharded ==
+        # sequential bit-identity invariant)
+        step_iq, self._planar_tail = select_step_iq(cfg, use_pallas)
         self.frame_shards = frame_shards
         self.mux_per_shard = n_mux // mux_shards
         self.frames_per_step = self.plan.batch_frames * frame_shards

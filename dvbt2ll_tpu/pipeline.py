@@ -40,8 +40,6 @@ def _plp_consts(pp: PlpPlan):
             "bch_matrix": np.asarray(pp.bch_matrix, np.int8),
             "mapper_perm": np.asarray(pp.mapper_perm, np.int32),
             "ti_perm": np.asarray(pp.ti_perm, np.int32),
-            "inband": (None if pp.bb.inband_bits is None
-                       else np.asarray(pp.bb.inband_bits, np.uint8)),
             "inband_b": (None if pp.bb.inband_bits is None
                          else np.packbits(
                              np.asarray(pp.bb.inband_bits, np.uint8))),
@@ -450,6 +448,18 @@ def transmit_step_iq(plan: TransmitPlan, ts_padded,
     return jnp.stack([jnp.real(out), jnp.imag(out)], axis=-1)
 
 
+def select_step_iq(cfg: T2Config, use_pallas: bool):
+    """The planar/complex tail decision, in ONE place: returns
+    (step_fn, planar_tail).  Both Transmitter and ShardedTransmitter must
+    make the identical choice or the sharded == sequential bit-identity
+    invariant silently breaks on TPU meshes - never duplicate this gate."""
+    from .ops.ifft_pallas import supported as _ifft_ok
+
+    planar = bool(use_pallas) and _ifft_ok(cfg.fft_points,
+                                           cfg.guard_samples)
+    return (transmit_step_iq_planar if planar else transmit_step_iq), planar
+
+
 class Transmitter:
     """Streaming DVB-T2 transmitter: feed TS bytes, get baseband IQ.
 
@@ -478,9 +488,7 @@ class Transmitter:
             use_pallas = platform not in ("cpu", "gpu", "cuda", "rocm")
         for pp in self.plan.plps:
             pp.use_pallas = use_pallas
-        from .ops.ifft_pallas import supported as _ifft_ok
-        self._planar_tail = bool(use_pallas) and _ifft_ok(
-            cfg.fft_points, cfg.guard_samples)
+        step_fn, self._planar_tail = select_step_iq(cfg, use_pallas)
         self._carries = [np.zeros(187, dtype=np.uint8)
                          for _ in self.plan.plps]
         self._frame_idx = 0
@@ -493,9 +501,7 @@ class Transmitter:
         for pp in self.plan.plps:
             _plp_consts(pp)
         _consts(self.plan)
-        self._step = jax.jit(functools.partial(
-            transmit_step_iq_planar if self._planar_tail
-            else transmit_step_iq, self.plan))
+        self._step = jax.jit(functools.partial(step_fn, self.plan))
 
     @property
     def bytes_per_step(self) -> int:

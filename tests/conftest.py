@@ -18,6 +18,21 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+def pytest_collection_modifyitems(config, items):
+    """Hardware (tpu-marked) tests run ONLY when the -m expression names
+    them explicitly.  pytest's -m option is store-last, so an addopts
+    deselection would be silently REPLACED by any user -m (e.g.
+    `-m "not slow"` would re-enable minutes-long hardware compiles), and
+    the axon tunnel hangs on first RPC when it is down - opt-in must be
+    explicit (`pytest tests/ -m tpu`)."""
+    if "tpu" in (config.option.markexpr or ""):
+        return
+    tpu_items = [i for i in items if "tpu" in i.keywords]
+    if tpu_items:
+        config.hook.pytest_deselected(items=tpu_items)
+        items[:] = [i for i in items if "tpu" not in i.keywords]
+
+
 @pytest.fixture(scope="session", autouse=True)
 def _cpu_default_device():
     cpu = jax.devices("cpu")[0]

@@ -33,6 +33,26 @@ def test_sync_check_warns(caplog):
     assert "Malformed MPEG-TS" in caplog.text
 
 
+def test_validate_ts_counts_sync_errors():
+    """The sync_errors counter must actually CHECK the stream when
+    validate_ts=True: clean phase-invariant windows count zero, and a
+    corrupted sync byte in a later step's fresh bytes is counted (the
+    reference logs per-byte in its work loop,
+    lib/bbheaderbch_bb_impl.cc:676,704)."""
+    from dvbt2ll_tpu.plan import min_batch_frames
+
+    cfg = vv009_config()
+    tx = Transmitter(cfg, min_batch_frames(cfg), validate_ts=True)
+    n = tx.bytes_per_step
+    ts = synthetic_ts(2 * n, seed=74)
+    tx(ts[:n])
+    assert tx.counters.sync_errors == 0
+    bad = ts[n : 2 * n].copy()
+    bad[188] = 0x00  # second packet of the window loses its sync byte
+    tx(bad)
+    assert tx.counters.sync_errors == 1
+
+
 def test_checkpoint_resume_bit_identical(tmp_path):
     cfg = vv009_config()
     n = None

@@ -77,7 +77,11 @@ def _build(config: str, batch, device):
         # packet phase, so the emitted stream is a VALID continuous mux
         batch = min_batch_frames(cfg)
     use_pallas = None if device is None else (device.platform != "cpu")
-    tx = Transmitter(cfg, batch, strict=True, use_pallas=use_pallas)
+    # validate_ts so the reported sync_errors counter actually CHECKS the
+    # stream (it only increments under validate_ts; without it the JSON
+    # would claim a verified-clean stream unconditionally)
+    tx = Transmitter(cfg, batch, strict=True, use_pallas=use_pallas,
+                     validate_ts=True)
     return cfg, tx
 
 
