@@ -38,6 +38,9 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="run on the host CPU backend (the axon TPU plugin "
                          "ignores JAX_PLATFORMS)")
+    ap.add_argument("--config",
+                    help="T2Config JSON file (T2Config.to_json; enums by "
+                         "name); default is the vv009-4kshort chain")
     args = ap.parse_args()
 
     if args.cpu:
@@ -50,7 +53,12 @@ def main():
     from dvbt2ll_tpu.pipeline import Transmitter
     from dvbt2ll_tpu.plan import min_batch_frames
 
-    cfg = vv009_config()
+    if args.config:
+        from dvbt2ll_tpu.config import T2Config
+        with open(args.config) as fh:
+            cfg = T2Config.from_json(fh.read()).validate()
+    else:
+        cfg = vv009_config()
     batch = args.batch if args.batch is not None else min_batch_frames(cfg)
     drift = batch % min_batch_frames(cfg) != 0
     if drift:

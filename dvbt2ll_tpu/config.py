@@ -14,6 +14,7 @@ serialized verbatim into L1 signalling fields.
 from __future__ import annotations
 
 import dataclasses
+import json
 import math
 from dataclasses import dataclass
 from enum import IntEnum
@@ -358,6 +359,43 @@ _ROTATION_DEG = {
 }
 
 
+def _cfg_to_dict(obj) -> dict:
+    """Dataclass -> JSON-able dict: enums serialized by NAME (stable and
+    human-auditable; the integer values already mirror the reference's
+    public enums), nested PLPConfig tuples as lists of dicts."""
+    out = {}
+    for f in dataclasses.fields(obj):
+        v = getattr(obj, f.name)
+        if f.name == "plps":
+            out[f.name] = [_cfg_to_dict(p) for p in v]
+        elif isinstance(v, IntEnum):
+            out[f.name] = v.name
+        else:
+            out[f.name] = v
+    return out
+
+
+def _cfg_from_dict(cls, d: dict):
+    """Inverse of _cfg_to_dict.  Enum fields accept the NAME string or the
+    raw integer value; unknown keys are rejected (the reference's GRC XML
+    layer silently drops unknown parameters - a config typo here must be
+    loud, not a silently-default transmit chain)."""
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    unknown = sorted(set(d) - set(fields))
+    if unknown:
+        raise ValueError(f"unknown {cls.__name__} fields: {unknown}")
+    kw = {}
+    for name, v in d.items():
+        f = fields[name]
+        if name == "plps":
+            v = tuple(_cfg_from_dict(PLPConfig, p) for p in v)
+        elif isinstance(f.default, IntEnum):
+            enum_cls = type(f.default)
+            v = enum_cls[v] if isinstance(v, str) else enum_cls(v)
+        kw[name] = v
+    return cls(**kw)
+
+
 @dataclass(frozen=True)
 class PLPConfig:
     """Per-PLP parameters for a multi-PLP T2 frame (EN 302 755 section 8.3).
@@ -381,6 +419,13 @@ class PLPConfig:
     # slice), 2 = type-2 data PLP (split into T2Config.sub_slices
     # sub-slices interleaved with the other type-2 PLPs)
     plp_type: int = 1
+
+    def to_dict(self) -> dict:
+        return _cfg_to_dict(self)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "PLPConfig":
+        return _cfg_from_dict(cls, d)
 
 
 @dataclass(frozen=True)
@@ -427,6 +472,26 @@ class T2Config:
     fef_length: int = 0
     fef_type: int = 0
     fef_interval: int = 1
+
+    # ------------------------------------------------------- serialization
+    # The declarative-config role of the reference's GRC XML layer
+    # (grc/dvbt2ll_*.xml maps GUI parameters onto four separate block
+    # constructors): ONE JSON document describes the whole chain and
+    # round-trips losslessly; apps accept it via --config.
+
+    def to_dict(self) -> dict:
+        return _cfg_to_dict(self)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "T2Config":
+        return _cfg_from_dict(cls, d)
+
+    def to_json(self, indent: int = 2) -> str:
+        return json.dumps(self.to_dict(), indent=indent)
+
+    @classmethod
+    def from_json(cls, text: str) -> "T2Config":
+        return cls.from_dict(json.loads(text))
 
     # ------------------------------------------------------------------ FEC
     @cached_property

@@ -126,3 +126,37 @@ def test_version_preamble_gating():
 def test_frame_duration_example():
     cfg = vv009_config()
     assert abs(cfg.frame_duration - 31616 / (131e6 / 71.0)) < 1e-12
+
+
+def test_config_json_round_trip():
+    """to_json/from_json is lossless - the declarative-config role of the
+    reference's GRC XML layer (grc/dvbt2ll_*.xml), one document for the
+    whole chain instead of four blocks' duplicated parameters."""
+    from dvbt2ll_tpu.config import PLPConfig, T2Config
+
+    cfg = vv009_config()
+    assert T2Config.from_json(cfg.to_json()) == cfg
+
+    multi = T2Config(
+        frame_size=FrameSize.SHORT, code_rate=CodeRate.C4_5,
+        constellation=Constellation.QAM256,
+        fft_size=FFTSize.FFT_4K, guard_interval=GuardInterval.GI_1_32,
+        pilot_pattern=PilotPattern.PP7, t2_frames=2, num_data_symbols=6,
+        plps=(PLPConfig(plp_id=0, plp_type=0, fec_blocks=1, ti_blocks=1),
+              PLPConfig(plp_id=1, fec_blocks=2, ti_blocks=1),
+              PLPConfig(plp_id=2, fec_blocks=2, ti_blocks=1)),
+        fef_length=4096, fef_interval=2).validate()
+    back = T2Config.from_json(multi.to_json())
+    assert back == multi
+    assert back.plps[0].plp_type == 0
+
+    # enums serialize by NAME (human-auditable), and raw ints also load
+    d = cfg.to_dict()
+    assert d["code_rate"] == "C4_5" and d["fft_size"] == "FFT_4K"
+    d["code_rate"] = int(CodeRate.C4_5)
+    assert T2Config.from_dict(d) == cfg
+
+    # unknown keys are rejected loudly (the GRC XML layer would silently
+    # drop them - a typo must not produce a silently-default chain)
+    with pytest.raises(ValueError, match="unknown T2Config fields"):
+        T2Config.from_dict({"ffft_size": "FFT_4K"})
