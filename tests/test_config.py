@@ -160,3 +160,49 @@ def test_config_json_round_trip():
     # drop them - a typo must not produce a silently-default chain)
     with pytest.raises(ValueError, match="unknown T2Config fields"):
         T2Config.from_dict({"ffft_size": "FFT_4K"})
+
+
+def test_validate_fuzz_never_leaks_internal_errors():
+    """Any parameter combination either validates or raises a clean
+    ValueError - never a KeyError/ZeroDivisionError from the derivation
+    chain.  The reference has no cross-block validation at all (the GRC
+    XMLs gate options per block; block consistency is the user's job,
+    SURVEY section 5.6) - here the single T2Config must be the loud,
+    total gatekeeper.  Seeded sweep: ~300 samples, a handful valid."""
+    import random
+
+    from dvbt2ll_tpu.config import (Bandwidth, CarrierMode, InBand,
+                                    InputMode, L1Constellation, MisoGroup,
+                                    PAPR, Preamble, Rotation, Version)
+
+    rng = random.Random(0)
+    enums = dict(
+        frame_size=list(FrameSize), code_rate=list(CodeRate),
+        constellation=list(Constellation), rotation=list(Rotation),
+        fft_size=list(FFTSize), guard_interval=list(GuardInterval),
+        pilot_pattern=list(PilotPattern), carrier_mode=list(CarrierMode),
+        preamble=list(Preamble), miso_group=list(MisoGroup),
+        papr=list(PAPR), version=list(Version),
+        l1_constellation=list(L1Constellation), input_mode=list(InputMode),
+        in_band=list(InBand), bandwidth=list(Bandwidth))
+    n_valid = 0
+    for _ in range(300):
+        kw = {k: rng.choice(v) for k, v in enums.items()}
+        kw.update(fec_blocks=rng.choice([0, 1, 2, 8, 200, 3000]),
+                  ti_blocks=rng.choice([0, 1, 3, 10]),
+                  t2_frames=rng.choice([1, 2, 8, 255, 256]),
+                  num_data_symbols=rng.choice([0, 1, 3, 8, 100, 3000]),
+                  l1_scrambled=rng.random() < 0.3,
+                  reserved_bias_bits=rng.random() < 0.3,
+                  fef_length=rng.choice([0, 4096]),
+                  fef_interval=rng.choice([1, 2]),
+                  sub_slices=rng.choice([1, 2]))
+        try:
+            cfg = T2Config(**kw).validate()
+        except ValueError:
+            continue
+        # the full derivation chain must also hold for every valid config
+        assert cfg.samples_per_frame > 0 and cfg.mapped_cells > 0
+        assert cfg.c_data > 0 and cfg.c_ps > 0
+        n_valid += 1
+    assert n_valid >= 3  # the sweep really does exercise valid configs
