@@ -27,6 +27,9 @@ def main():
                     help="force N virtual CPU devices (0 = real devices)")
     ap.add_argument("--frames-per-shard", type=int, default=2)
     ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--config",
+                    help="T2Config JSON for every mux channel "
+                         "(T2Config.to_json); default vv009-4kshort")
     args = ap.parse_args()
 
     if args.virtual:
@@ -47,7 +50,12 @@ def main():
         raise SystemExit("--mux must divide or be divisible by device count")
     mux_axis = min(args.mux, len(devices))
     mesh = make_mesh(devices, mux=mux_axis)
-    cfg = vv009_config()
+    if args.config:
+        from dvbt2ll_tpu.config import T2Config
+        with open(args.config) as fh:
+            cfg = T2Config.from_json(fh.read()).validate()
+    else:
+        cfg = vv009_config()
     stx = ShardedTransmitter(cfg, mesh, n_mux=args.mux,
                              frames_per_shard=args.frames_per_shard,
                              allow_phase_drift=True,
