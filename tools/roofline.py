@@ -63,7 +63,8 @@ def main():
     names = sys.argv[2:] or ["vv009_4kshort", "8k_normal", "32k_extended"]
     for name in names:
         cfg = _named_config(name)
-        b = batch if cfg.fft_points <= 8192 else min(batch, 32)
+        # bench.py protocol batches: 256 for the 4K/8K class, 128 at 32K
+        b = batch if cfg.fft_points <= 8192 else min(batch, 128)
         plan = build_plan(cfg, b, strict=False)
         rows, samples = stage_traffic(cfg, plan, b)
         total = sum(r[1] for r in rows)
