@@ -52,10 +52,14 @@ def main():
     mesh = make_mesh(devices, mux=mux_axis)
     if args.config:
         from dvbt2ll_tpu.config import T2Config
-        with open(args.config) as fh:
-            cfg = T2Config.from_json(fh.read()).validate()
+        cfg = T2Config.from_json_file(args.config)
     else:
         cfg = vv009_config()
+    if len(cfg.plps) > 1:
+        raise SystemExit(
+            f"--config describes {len(cfg.plps)} PLPs; this demo feeds one "
+            "synthetic stream per mux - multi-PLP muxes go through the "
+            "ShardedTransmitter API with per-PLP sources")
     stx = ShardedTransmitter(cfg, mesh, n_mux=args.mux,
                              frames_per_shard=args.frames_per_shard,
                              allow_phase_drift=True,

@@ -55,10 +55,14 @@ def main():
 
     if args.config:
         from dvbt2ll_tpu.config import T2Config
-        with open(args.config) as fh:
-            cfg = T2Config.from_json(fh.read()).validate()
+        cfg = T2Config.from_json_file(args.config)
     else:
         cfg = vv009_config()
+    if len(cfg.plps) > 1 and (args.ts or args.stdin):
+        raise SystemExit(
+            f"--config describes {len(cfg.plps)} PLPs but --ts/--stdin "
+            "provide a single TS stream; multi-PLP muxes need one source "
+            "per PLP (use the Transmitter API or synthetic mode)")
     batch = args.batch if args.batch is not None else min_batch_frames(cfg)
     drift = batch % min_batch_frames(cfg) != 0
     if drift:
@@ -85,9 +89,8 @@ def main():
                         break
                     # the native ring keeps the 187-byte carry itself; feed
                     # its pre-carried window through the public API
-                    iq = tx.step_window(ing.window(n))
-                    sink.write(np.asarray(iq).reshape(batch, -1)
-                               .view(np.complex64))
+                    # (stream_window also inserts FEF parts when configured)
+                    sink.write(tx.stream_window(ing.window(n)))
                 print("ingest stats:", ing.stats)
                 c = tx.counters
                 print(f"emitted {c.frames} T2 frames, {c.samples} samples")
@@ -96,8 +99,15 @@ def main():
             steps = -(-args.frames // batch)
             t0 = time.time()
             t_warm = None  # timestamp after the first (compiling) step
+            per_plp = tx.bytes_per_step_per_plp
             for i in range(steps):
-                ts = src.read(n) if src else synthetic_ts(n, seed=i)
+                if src:
+                    ts = src.read(n)
+                elif len(per_plp) > 1:   # multi-PLP: one stream per PLP
+                    ts = [synthetic_ts(m, seed=31 * i + k)
+                          for k, m in enumerate(per_plp)]
+                else:
+                    ts = synthetic_ts(n, seed=i)
                 sink.write(tx.stream(ts))
                 if i == 0:
                     t_warm, warm_samples = time.time(), sink.samples_written

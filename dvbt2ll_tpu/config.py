@@ -391,7 +391,13 @@ def _cfg_from_dict(cls, d: dict):
             v = tuple(_cfg_from_dict(PLPConfig, p) for p in v)
         elif isinstance(f.default, IntEnum):
             enum_cls = type(f.default)
-            v = enum_cls[v] if isinstance(v, str) else enum_cls(v)
+            try:
+                v = enum_cls[v] if isinstance(v, str) else enum_cls(v)
+            except (KeyError, ValueError):
+                raise ValueError(
+                    f"{cls.__name__}.{name}: {v!r} is not a valid "
+                    f"{enum_cls.__name__} (choices: "
+                    f"{[m.name for m in enum_cls]})") from None
         kw[name] = v
     return cls(**kw)
 
@@ -492,6 +498,13 @@ class T2Config:
     @classmethod
     def from_json(cls, text: str) -> "T2Config":
         return cls.from_dict(json.loads(text))
+
+    @classmethod
+    def from_json_file(cls, path: str) -> "T2Config":
+        """Load AND validate a chain config from a JSON file (the apps'
+        --config entry point)."""
+        with open(path) as fh:
+            return cls.from_json(fh.read()).validate()
 
     # ------------------------------------------------------------------ FEC
     @cached_property

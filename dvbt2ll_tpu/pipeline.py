@@ -635,7 +635,18 @@ class Transmitter:
         FEF parts inserted after every fef_interval-th T2 frame (EN 302 755
         section 8.4; no-op when the config has no FEF)."""
         start = self._frame_idx  # global frame index before the step
-        frames = self(ts_bytes)
+        return self._with_fef(self(ts_bytes), start)
+
+    def stream_window(self, windows) -> np.ndarray:
+        """The pre-carried-window sibling of stream(): accepts step_window
+        inputs (187-byte carry included, e.g. the native ingest ring's
+        windows) and returns the flat emitted host stream incl. FEF parts."""
+        start = self._frame_idx
+        iq = np.asarray(self.step_window(windows))
+        return self._with_fef(
+            iq.reshape(iq.shape[0], -1).view(np.complex64), start)
+
+    def _with_fef(self, frames: np.ndarray, start: int) -> np.ndarray:
         cfg = self.cfg
         if not cfg.has_fef:
             return frames.reshape(-1)

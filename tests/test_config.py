@@ -206,3 +206,12 @@ def test_validate_fuzz_never_leaks_internal_errors():
         assert cfg.c_data > 0 and cfg.c_ps > 0
         n_valid += 1
     assert n_valid >= 3  # the sweep really does exercise valid configs
+
+
+def test_enum_typo_raises_value_error():
+    """A misspelled enum NAME in a JSON config must raise the loader's
+    loud ValueError (with field + choices), not a bare KeyError."""
+    d = vv009_config().to_dict()
+    d["code_rate"] = "C4_55"
+    with pytest.raises(ValueError, match="T2Config.code_rate.*C4_55"):
+        T2Config.from_dict(d)

@@ -222,3 +222,25 @@ def test_fef_l1_signalling_fields():
     assert fields["fef_length"] == (100000 & 0x3FFFFF, 22)
     assert fields["fef_interval"] == (1, 8)
     assert cfg.ksig_post == 350 + 34
+
+
+def test_stream_window_matches_stream():
+    """stream_window (pre-carried windows, e.g. the native ingest ring)
+    must emit the same FEF-bearing stream as stream() fed fresh bytes -
+    the --stdin app path goes through it."""
+    cfg = dataclasses.replace(
+        vv009_config(), fef_length=4096, fef_type=0,
+        fef_interval=2).validate()
+    from dvbt2ll_tpu.plan import min_batch_frames
+
+    b = min_batch_frames(cfg)    # phase-invariant: streamable across steps
+    tx_a = Transmitter(cfg, b)
+    tx_b = Transmitter(cfg, b)
+    ts = synthetic_ts(2 * tx_a.bytes_per_step, seed=64)
+    n = tx_a.bytes_per_step
+    for i in range(2):
+        fresh = ts[i * n:(i + 1) * n]
+        a = tx_a.stream(fresh)
+        carry = np.zeros(187, np.uint8) if i == 0 else ts[i * n - 187:i * n]
+        b = tx_b.stream_window(np.concatenate([carry, fresh]))
+        assert np.array_equal(a, b)

@@ -6,9 +6,9 @@ shows pure device-op time (~2.62 ms/step at vv009/256 = 3.09 Gsamp/s)
 sitting well above the measured wall-clock (2.61 Gsamp/s) - the difference
 is enqueue overhead.  This tool measures the same 50-step workload chained
 K steps per dispatch with `lax.scan` (full IQ materialized for every step,
-stacked (K, B, samples, 2); checksum fence on the last element), i.e. the
-command-buffer formulation `Transmitter.step_window` users get via
-`steps_per_dispatch`.
+stacked (K, B, samples, 2); checksum fence on the last element) - the
+command-buffer formulation a steps-per-dispatch knob would give.
+MEASURED SLOWER (BENCH.md round-4 rejected list), so no such knob exists.
 
 Usage: python tools/profile_scan_steps.py [batch] [steps] [config]
 """
