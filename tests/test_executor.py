@@ -40,3 +40,37 @@ def test_executor_matches_sequential():
     assert np.array_equal(got, expected)
     assert stats["steps"] == n_steps
     assert stats["sustained_samples_per_second"] > 0
+
+
+def test_executor_multi_plp_sources():
+    """One source callable per PLP stream (the executor's list form) must
+    match the sequential multi-PLP chain."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_multiplp_fef import _mixed_plp_cfg
+
+    cfg = _mixed_plp_cfg()
+    n_steps = 2
+    tx_seq = Transmitter(cfg, 1, strict=False, allow_phase_drift=True)
+    per = tx_seq.bytes_per_step_per_plp
+    streams = [synthetic_ts(n_steps * m, seed=110 + k)
+               for k, m in enumerate(per)]
+    expected = np.concatenate([
+        tx_seq([s[i * m:(i + 1) * m] for s, m in zip(streams, per)])
+        for i in range(n_steps)])
+
+    tx = Transmitter(cfg, 1, strict=False, allow_phase_drift=True)
+    pos = [0] * len(per)
+
+    def make_source(k):
+        def source(nbytes):
+            o = pos[k]
+            pos[k] += nbytes
+            return streams[k][o:o + nbytes]
+        return source
+
+    sink = _ListSink()
+    stats = StreamingExecutor(
+        tx, [make_source(k) for k in range(len(per))], sink).run(n_steps)
+    assert np.array_equal(np.concatenate(sink.chunks), expected)
+    assert stats["steps"] == n_steps
