@@ -45,9 +45,7 @@ def test_executor_matches_sequential():
 def test_executor_multi_plp_sources():
     """One source callable per PLP stream (the executor's list form) must
     match the sequential multi-PLP chain."""
-    import sys
-    sys.path.insert(0, "tests")
-    from test_multiplp_fef import _mixed_plp_cfg
+    from tests.test_multiplp_fef import _mixed_plp_cfg
 
     cfg = _mixed_plp_cfg()
     n_steps = 2

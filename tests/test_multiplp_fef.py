@@ -242,5 +242,5 @@ def test_stream_window_matches_stream():
         fresh = ts[i * n:(i + 1) * n]
         a = tx_a.stream(fresh)
         carry = np.zeros(187, np.uint8) if i == 0 else ts[i * n - 187:i * n]
-        b = tx_b.stream_window(np.concatenate([carry, fresh]))
-        assert np.array_equal(a, b)
+        got = tx_b.stream_window(np.concatenate([carry, fresh]))
+        assert np.array_equal(a, got)
