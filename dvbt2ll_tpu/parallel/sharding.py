@@ -286,6 +286,15 @@ class ShardedTransmitter:
         self._carries = carries.copy()
         self._step_no = int(state["step_no"])
 
+    def save(self, path: str) -> None:
+        """File-checkpoint helpers mirroring Transmitter.save/restore
+        (the two FORMATS differ: sharded carries are (mux, plp, 187))."""
+        np.savez(path, **self.state_dict())
+
+    def restore(self, path: str) -> None:
+        with np.load(path) as z:
+            self.load_state({k: z[k] for k in z.files})
+
 
 def grids_symbol_sharded(plan: TransmitPlan, mesh: Mesh, axis: str = "frame"):
     """Sequence-parallel OFDM back-end: shard the (B, S, fft) grids over the

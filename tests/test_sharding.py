@@ -3,6 +3,8 @@
 SURVEY.md section 4 item (4): multi-chip tests asserting 1 chip vs N chips
 bit-identical, run on the virtual 8-device CPU mesh (conftest.py).
 """
+import os
+
 import jax
 import numpy as np
 import pytest
@@ -154,6 +156,18 @@ def test_sharded_checkpoint_resume():
     a2 = stx2(ts[None, n:2 * n])
     b2 = stx2(ts[None, 2 * n:])
     assert np.array_equal(a, a2) and np.array_equal(b, b2)
+
+    # the file helpers round-trip the same state (format mirrors
+    # Transmitter.save/restore; shaped (mux, plp, 187) carries)
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "stx.npz")
+        stx2.save(p)
+        stx3 = ShardedTransmitter(cfg, mesh, n_mux=1, frames_per_shard=1,
+                                  allow_phase_drift=True, strict=False)
+        stx3.restore(p)
+        assert stx3._step_no == stx2._step_no
+        assert np.array_equal(stx3._carries, stx2._carries)
 
 
 def test_sharded_fef_stream_matches_sequential():

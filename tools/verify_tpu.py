@@ -26,6 +26,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 DEFAULT_NAMES = ["vv009_4kshort", "8k_normal"]
+# `--all`: the full hardware-verified matrix (BENCH.md "On-TPU
+# verification lane") - kept out of DEFAULT_NAMES because the 32K
+# compile takes 10-20 min through the dev tunnel on a cold cache
+ALL_NAMES = DEFAULT_NAMES + ["inband_2k", "1k_pp4", "qpsk_short_c13",
+                             "hieff_4k", "32k_papr_tr"]
 
 
 def _jax_tpu():
@@ -98,6 +103,8 @@ def verify_on_tpu(name: str) -> dict:
 def main():
     import json
     names = sys.argv[1:] or DEFAULT_NAMES
+    if names == ["--all"]:
+        names = ALL_NAMES
     for name in names:
         r = verify_on_tpu(name)
         print(json.dumps(r), flush=True)
