@@ -55,7 +55,10 @@ def main():
 
     if args.config:
         from dvbt2ll_tpu.config import T2Config
-        cfg = T2Config.from_json_file(args.config)
+        try:
+            cfg = T2Config.from_json_file(args.config)
+        except ValueError as e:
+            raise SystemExit(f"--config {args.config}: {e}")
     else:
         cfg = vv009_config()
     if len(cfg.plps) > 1 and (args.ts or args.stdin):
