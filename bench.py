@@ -131,6 +131,48 @@ def _named_config(name):
             fft_size=FFTSize.FFT_4K, guard_interval=GuardInterval.GI_1_32,
             pilot_pattern=PilotPattern.PP7, fec_blocks=8, ti_blocks=0,
             t2_frames=2, num_data_symbols=3).validate()
+    if name == "t2lite_4k":
+        # T2-Lite SISO waveform: S1 = 3 in the P1 preamble
+        # (lib/pilotgenp1insert_cc_impl.cc:54-56), lite option set of the
+        # V1.3.1 UI (grc/dvbt2ll_framemapperfint_cc.xml:7-29); profile
+        # rules per EN 302 755 V1.3.1 Annex I (short frames, rate <= 2/3)
+        from dvbt2ll_tpu.config import Version
+        return T2Config(
+            frame_size=FrameSize.SHORT, code_rate=CodeRate.C2_3,
+            constellation=Constellation.QAM16, rotation=Rotation.ON,
+            fft_size=FFTSize.FFT_4K, guard_interval=GuardInterval.GI_1_32,
+            pilot_pattern=PilotPattern.PP7, preamble=Preamble.T2_LITE_SISO,
+            version=Version.V131, l1_constellation=L1Constellation.QPSK,
+            fec_blocks=2, ti_blocks=1, t2_frames=2,
+            num_data_symbols=3).validate()
+    if name == "t2lite_8k_t2gi_miso":
+        # T2-Lite MISO (S1 = 4) on the FFT_8K_T2GI size code with a
+        # T2GI-menu guard interval (19/128) - pins the lite MISO pilot
+        # inversions AND the T2GI FFT-size leg in one config
+        # (lib/pilotgenp1insert_cc_impl.cc:72,104,137 FFTSIZE_8K_T2GI)
+        from dvbt2ll_tpu.config import Version
+        return T2Config(
+            frame_size=FrameSize.SHORT, code_rate=CodeRate.C3_5,
+            constellation=Constellation.QPSK, rotation=Rotation.OFF,
+            fft_size=FFTSize.FFT_8K_T2GI,
+            guard_interval=GuardInterval.GI_19_128,
+            pilot_pattern=PilotPattern.PP3, preamble=Preamble.T2_LITE_MISO,
+            miso_group=MisoGroup.TX2, version=Version.V131,
+            l1_constellation=L1Constellation.BPSK,
+            fec_blocks=1, ti_blocks=1, t2_frames=2,
+            num_data_symbols=4).validate()
+    if name == "v121_4k":
+        # the V1.2.1 version leg: plp_mode = inputmode + 1 in L1-post
+        # (lib/framemapperfint_cc_impl.cc:214-219) with the V1.3.1-only
+        # fields (l1_post_scrambled, reserved bias, fef_length_msb) off
+        from dvbt2ll_tpu.config import Version
+        return T2Config(
+            frame_size=FrameSize.SHORT, code_rate=CodeRate.C4_5,
+            constellation=Constellation.QAM256, rotation=Rotation.ON,
+            fft_size=FFTSize.FFT_4K, guard_interval=GuardInterval.GI_1_32,
+            pilot_pattern=PilotPattern.PP7, version=Version.V121,
+            fec_blocks=3, ti_blocks=1, t2_frames=2,
+            num_data_symbols=3).validate()
     if name == "32k_papr_tr":
         # TR-PAPR reserved tones, lib/pilotgenp1insert_cc_impl.cc:2739-2781
         return T2Config(

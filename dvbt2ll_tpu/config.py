@@ -375,6 +375,21 @@ def _cfg_to_dict(obj) -> dict:
     return out
 
 
+def _enum_fields(cls) -> dict:
+    """Field name -> IntEnum subclass, resolved from the dataclass TYPE
+    ANNOTATIONS (not the defaults: an enum-typed field declared with a
+    non-enum default would otherwise let a JSON string pass through
+    unconverted and fail far from the loader)."""
+    cached = cls.__dict__.get("_enum_fields_cache")
+    if cached is None:
+        import typing
+        hints = typing.get_type_hints(cls)
+        cached = {n: t for n, t in hints.items()
+                  if isinstance(t, type) and issubclass(t, IntEnum)}
+        cls._enum_fields_cache = cached
+    return cached
+
+
 def _cfg_from_dict(cls, d: dict):
     """Inverse of _cfg_to_dict.  Enum fields accept the NAME string or the
     raw integer value; unknown keys are rejected (the reference's GRC XML
@@ -384,13 +399,13 @@ def _cfg_from_dict(cls, d: dict):
     unknown = sorted(set(d) - set(fields))
     if unknown:
         raise ValueError(f"unknown {cls.__name__} fields: {unknown}")
+    enum_by_name = _enum_fields(cls)
     kw = {}
     for name, v in d.items():
-        f = fields[name]
         if name == "plps":
             v = tuple(_cfg_from_dict(PLPConfig, p) for p in v)
-        elif isinstance(f.default, IntEnum):
-            enum_cls = type(f.default)
+        elif name in enum_by_name:
+            enum_cls = enum_by_name[name]
             try:
                 v = enum_cls[v] if isinstance(v, str) else enum_cls(v)
             except (KeyError, ValueError):

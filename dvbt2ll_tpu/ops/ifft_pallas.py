@@ -25,8 +25,10 @@ prefix is a whole-row concat: out rows = [last gi/N1 rows | all rows].
 Validated against np.fft.ifft to 1.5e-15 in f64 (tools/profile_ifft4.py)
 and >130 dB in f32 with precision=HIGHEST dots.
 
-Applicability gate: fft % 128 == 0 and gi % 128 == 0 (all BASELINE
-configs; 1K/2K FFTs and GI 1/128 below 16K fall back to the XLA tail).
+Applicability gate (``supported()``): 1K-8K FFTs with fft % 128 == 0 and
+gi % 128 == 0.  16K/32K keep the complex jnp.fft tail (the 4-step matmul
+FLOPs cancel the layout savings there, measured), as do sub-128 guard
+intervals (GI 1/128 below 16K).
 """
 from __future__ import annotations
 

@@ -471,11 +471,15 @@ class Transmitter:
     def __init__(self, cfg: T2Config, batch_frames: Optional[int] = None,
                  strict: bool = True, validate_ts: bool = False,
                  use_pallas: Optional[bool] = None,
-                 allow_phase_drift: bool = False):
+                 allow_phase_drift: bool = False, start_phases=0):
         from .observability import TxCounters
 
         self.cfg = cfg
-        self.plan = build_plan(cfg, batch_frames, strict=strict)
+        # start_phases: TS byte phase at the step start (build_plan); lets
+        # a non-phase-invariant stream be driven bit-exactly with one
+        # Transmitter per distinct phase (start_phases=prev.bb.next_phase)
+        self.plan = build_plan(cfg, batch_frames, strict=strict,
+                               start_phases=start_phases)
         if use_pallas is None:
             # auto, decided AT CONSTRUCTION TIME: Pallas kernels only when
             # the default device is a TPU (a jax.default_device(cpu)
@@ -561,7 +565,10 @@ class Transmitter:
                 w.shape, 187 + pp.ts_bytes_in)
             if self._validate_ts:
                 from .observability import check_ts_sync
-                self.counters.sync_errors += check_ts_sync(w[187:])
+                # drifted per-phase plans start mid-packet: the sync slots
+                # of this window sit at the plan's start_phase, not 0
+                self.counters.sync_errors += check_ts_sync(
+                    w[187:], phase=pp.bb.start_phase)
             self._carries[i] = w[-187:].copy()
             padded.append(jnp.asarray(w))
             nbytes += w.size - 187

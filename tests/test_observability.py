@@ -53,6 +53,32 @@ def test_validate_ts_counts_sync_errors():
     assert tx.counters.sync_errors == 1
 
 
+def test_validate_ts_drifted_phase_plan():
+    """Per-phase plans (start_phases != 0) start their window mid-packet:
+    the sync check must scan the plan's actual sync slots, not offset 0
+    (a phase=0 scan would count ~24 spurious errors per vv009 window)."""
+    cfg = vv009_config()
+    tx1 = Transmitter(cfg, 1, strict=False, validate_ts=True)
+    n = tx1.bytes_per_step
+    ts = synthetic_ts(2 * n, seed=75)
+    tx1(ts[:n])
+    assert tx1.counters.sync_errors == 0
+    phase = tx1.plan.plps[0].bb.next_phase
+    assert phase != 0  # vv009 with batch 1 drifts (4695 % 188 == 183)
+
+    tx2 = Transmitter(cfg, 1, strict=False, validate_ts=True,
+                      start_phases=phase)
+    tx2(ts[n:])  # the clean continuation window counts ZERO errors
+    assert tx2.counters.sync_errors == 0
+
+    bad = ts[n:].copy()
+    bad[(188 - phase) % 188] = 0x00  # true first sync slot of the window
+    tx3 = Transmitter(cfg, 1, strict=False, validate_ts=True,
+                      start_phases=phase)
+    tx3(bad)
+    assert tx3.counters.sync_errors == 1
+
+
 def test_checkpoint_resume_bit_identical(tmp_path):
     cfg = vv009_config()
     n = None

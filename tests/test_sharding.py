@@ -100,6 +100,68 @@ def test_frame_sharded_streaming_carry():
     assert np.array_equal(out, seq)
 
 
+def _phase_invariant_cfg():
+    """A config whose per-frame TS payload is a whole number of packets
+    (HIEFF: 17 x 869 = 79 x 187), so min_batch_frames == 1 and every
+    shard/step starts packet-aligned - the valid-continuous-stream mode."""
+    from dvbt2ll_tpu.config import (CodeRate, Constellation, FFTSize,
+                                    FrameSize, GuardInterval, InputMode,
+                                    PilotPattern, Rotation, T2Config)
+    return T2Config(
+        frame_size=FrameSize.SHORT, code_rate=CodeRate.C1_2,
+        constellation=Constellation.QAM256, rotation=Rotation.ON,
+        fft_size=FFTSize.FFT_4K, guard_interval=GuardInterval.GI_1_32,
+        pilot_pattern=PilotPattern.PP7, fec_blocks=17, ti_blocks=1,
+        t2_frames=2, num_data_symbols=12,
+        input_mode=InputMode.HIEFF).validate()
+
+
+def test_phase_invariant_sharded_valid_stream():
+    """The PRODUCTION sharded mode: no allow_phase_drift, strict plans,
+    multiple steps - the only configuration that emits a valid continuous
+    DVB-T2 mux under sharding (sharding.py constructor happy path).
+    Bit-identical to the sequential strict Transmitter across 3 steps.
+    Match: the stream-state contract of
+    /root/reference/lib/bbheaderbch_bb_impl.cc:701-719."""
+    from dvbt2ll_tpu.plan import min_batch_frames
+
+    cfg = _phase_invariant_cfg()
+    assert min_batch_frames(cfg) == 1
+    mesh = make_mesh(jax.devices("cpu")[:4], mux=1)
+    stx = ShardedTransmitter(cfg, mesh, n_mux=1, frames_per_shard=1)
+    n = stx.bytes_per_step_per_mux
+    ts = synthetic_ts(3 * n, seed=40)
+    sharded = np.concatenate(
+        [stx(ts[None, i * n:(i + 1) * n])[0] for i in range(3)], axis=0)
+
+    tx = Transmitter(cfg, 4)  # strict, 4 frames/step == one sharded step
+    seq = np.concatenate(
+        [tx(ts[i * n:(i + 1) * n]) for i in range(3)], axis=0)
+    assert sharded.shape == seq.shape
+    assert np.array_equal(sharded, seq)
+
+
+def test_phase_invariant_sharded_vv009_min_batch():
+    """vv009 itself in the valid-stream sharded configuration
+    (frames_per_shard = min_batch_frames = 47), 2 shards x 2 steps,
+    bit-identical to the sequential strict chain."""
+    from dvbt2ll_tpu.plan import min_batch_frames
+
+    cfg = vv009_config()
+    b = min_batch_frames(cfg)
+    assert b == 47
+    mesh = make_mesh(jax.devices("cpu")[:2], mux=1)
+    stx = ShardedTransmitter(cfg, mesh, n_mux=1, frames_per_shard=b)
+    n = stx.bytes_per_step_per_mux
+    ts = synthetic_ts(2 * n, seed=41)
+    sharded = np.concatenate(
+        [stx(ts[None, :n])[0], stx(ts[None, n:])[0]], axis=0)
+
+    tx = Transmitter(cfg, 2 * b)  # strict
+    seq = np.concatenate([tx(ts[:n]), tx(ts[n:])], axis=0)
+    assert np.array_equal(sharded, seq)
+
+
 def test_symbol_sharded_modulate_matches():
     from dvbt2ll_tpu.parallel import grids_symbol_sharded
     cfg = vv009_config()
