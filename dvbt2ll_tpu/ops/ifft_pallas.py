@@ -98,32 +98,49 @@ def ifft_gi_einsum(grids_re_t: jnp.ndarray, grids_im_t: jnp.ndarray,
             body_im.reshape(b, s, fft + gi))
 
 
-def _kernel(gi_rows: int, n2: int, s_tile: int,
+def _kernel(gi_rows: int, n2: int, s_tile: int, b_tile: int,
             ar_ref, ai_ref, w1r_ref, w1i_ref, ttr_ref, tti_ref,
             w2r_ref, w2i_ref, or_ref, oi_ref):
+    """Batched formulation (round 5): the round-4 kernel issued one
+    (N2, 128)x(128, 128) dot per symbol and one grid step per FRAME -
+    256 invocations of tiny-M dots at vv009/256, so per-invocation fixed
+    cost and MXU starvation dominated (measured 1.97 ms vs einsum 1.69
+    with symbols-only batching; the per-symbol original was no better).
+    Now a tile covers b_tile frames x s_tile symbols:
+
+      stage 1: ONE (b_tile*s_tile*N2, 128) x (128, 128) dot
+      stage 3: per frame, block-diag W2
+               (s_tile*N2, s_tile*N2) x (s_tile*N2, 128)
+
+    The block-diagonal W2 spends s_tile x the stage-3 MACs on zeros, but
+    stage 3 is only N2/128 of stage 1's work per row, and one large dot
+    beats s_tile small-M dots on the systolic array; it also needs NO
+    in-VMEM transpose or lane-axis reshape (n1 never leaves the lanes).
+    """
     dot = functools.partial(
         jax.lax.dot, precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32)
+    m = s_tile * n2
+    ar = ar_ref[:].reshape(b_tile * m, N1)
+    ai = ai_ref[:].reshape(b_tile * m, N1)
+    # stage 1: B = At @ W1 (complex, n1 stays on lanes, whole tile)
     w1r, w1i = w1r_ref[:], w1i_ref[:]
+    br = dot(ar, w1r) - dot(ai, w1i)
+    bi = dot(ar, w1i) + dot(ai, w1r)
+    # stage 2: twiddle C = B * T (T tiled to (b_tile*m, N1) on the host)
     ttr, tti = ttr_ref[:], tti_ref[:]
+    cr = (br * ttr - bi * tti).reshape(b_tile, m, N1)
+    ci = (br * tti + bi * ttr).reshape(b_tile, m, N1)
+    # stage 3: X = blkdiag(W2,..) @ C -> rows in natural sample order
     w2r, w2i = w2r_ref[:], w2i_ref[:]
-    for s in range(s_tile):
-        ar = ar_ref[0, s]                   # (N2, N1) transposed grid
-        ai = ai_ref[0, s]
-        # stage 1: B = At @ W1  (complex, n1 stays on lanes)
-        br = dot(ar, w1r) - dot(ai, w1i)
-        bi = dot(ar, w1i) + dot(ai, w1r)
-        # stage 2: twiddle C = B * T
-        cr = br * ttr - bi * tti
-        ci = br * tti + bi * ttr
-        # stage 3: X = W2 @ C -> rows n2 in natural sample order
-        xr = dot(w2r, cr) - dot(w2i, ci)
-        xi = dot(w2r, ci) + dot(w2i, cr)
+    for f in range(b_tile):
+        xr = (dot(w2r, cr[f]) - dot(w2i, ci[f])).reshape(s_tile, n2, N1)
+        xi = (dot(w2r, ci[f]) + dot(w2i, cr[f])).reshape(s_tile, n2, N1)
         # guard interval: prefix = last gi_rows rows, then the body
-        or_ref[0, s, :gi_rows] = xr[n2 - gi_rows:]
-        oi_ref[0, s, :gi_rows] = xi[n2 - gi_rows:]
-        or_ref[0, s, gi_rows:] = xr
-        oi_ref[0, s, gi_rows:] = xi
+        or_ref[f, :, :gi_rows] = xr[:, n2 - gi_rows:]
+        oi_ref[f, :, :gi_rows] = xi[:, n2 - gi_rows:]
+        or_ref[f, :, gi_rows:] = xr
+        oi_ref[f, :, gi_rows:] = xi
 
 
 def ifft_gi_pallas(grids_re_t: jnp.ndarray, grids_im_t: jnp.ndarray,
@@ -141,38 +158,60 @@ def ifft_gi_pallas(grids_re_t: jnp.ndarray, grids_im_t: jnp.ndarray,
     w1r, w1i, ttr, tti, w2r, w2i = factor_matrices(fft, scale)
 
     # symbol tile: amortize the resident constants over a few symbols
-    # while keeping in+out+temps comfortably inside VMEM
+    # while keeping in+out+temps comfortably inside VMEM, and cap the
+    # block-diagonal stage-3 matrix at 256 rows (its MAC count grows
+    # linearly in s_tile; 256 keeps the zero-padding overhead at <= 2x
+    # stage 1 while the dot is already full-MXU)
     bytes_per_sym = (2 * (n2 * N1) + 2 * ((n2 + gi_rows) * N1)) * 4
-    s_tile = max(1, min(s, (4 << 20) // bytes_per_sym))
+    s_tile = max(1, min(s, (4 << 20) // bytes_per_sym,
+                        max(1, 256 // n2)))
     while s % s_tile:
         s_tile -= 1
+    # frame tile: batch whole frames into the same invocation so stage 1
+    # is one large-M dot and the grid shrinks ~b_tile-fold (the dominant
+    # cost at small per-frame shapes is per-invocation overhead);
+    # bounded so in+out tiles + stage-1/2 temps stay well inside VMEM
+    per_frame = s_tile * bytes_per_sym * 2  # in/out + ~same again in temps
+    b_tile = max(1, min(b, 8, (6 << 20) // max(per_frame, 1)))
+    while b % b_tile:
+        b_tile -= 1
 
-    kern = functools.partial(_kernel, gi_rows, n2, s_tile)
+    # host-built batched constants: T tiled over the tile's rows,
+    # W2 as a block-diagonal so stage 3 is one dot per frame
+    m = s_tile * n2
+    ttr_b = np.tile(ttr, (b_tile * s_tile, 1))
+    tti_b = np.tile(tti, (b_tile * s_tile, 1))
+    eye = np.eye(s_tile, dtype=np.float32)
+    w2r_b, w2i_b = np.kron(eye, w2r), np.kron(eye, w2i)
+
+    kern = functools.partial(_kernel, gi_rows, n2, s_tile, b_tile)
     const = lambda shape: pl.BlockSpec(shape, lambda i, j: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((b, s, n2 + gi_rows, N1), jnp.float32)
     body_re, body_im = pl.pallas_call(
         kern,
         out_shape=(out_shape, out_shape),
-        grid=(b, s // s_tile),
+        grid=(b // b_tile, s // s_tile),
         in_specs=[
-            pl.BlockSpec((1, s_tile, n2, N1), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s_tile, n2, N1), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            const((N1, N1)), const((N1, N1)),
-            const((n2, N1)), const((n2, N1)),
-            const((n2, n2)), const((n2, n2)),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, s_tile, n2 + gi_rows, N1),
+            pl.BlockSpec((b_tile, s_tile, n2, N1),
                          lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s_tile, n2 + gi_rows, N1),
+            pl.BlockSpec((b_tile, s_tile, n2, N1),
+                         lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            const((N1, N1)), const((N1, N1)),
+            const((b_tile * m, N1)), const((b_tile * m, N1)),
+            const((m, m)), const((m, m)),
+        ],
+        out_specs=(
+            pl.BlockSpec((b_tile, s_tile, n2 + gi_rows, N1),
+                         lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_tile, s_tile, n2 + gi_rows, N1),
                          lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
-    )(grids_re_t, grids_im_t, w1r, w1i, ttr, tti, w2r, w2i)
+    )(grids_re_t, grids_im_t, w1r, w1i, ttr_b, tti_b, w2r_b, w2i_b)
     return (body_re.reshape(b, s, fft + gi),
             body_im.reshape(b, s, fft + gi))

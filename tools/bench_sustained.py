@@ -23,6 +23,12 @@ Roles (each one process, sequential):
             moves through every runtime component at memory speed, so
             ingest/sink/executor sustain >> real time without the
             tunnel in the loop.
+  paced   - the 'full' loop driven at the CONFIG PROFILE's real-time
+            rate (StreamingExecutor realtime pacing): the deployment
+            contract of a transmitter.  Reports the cumulative deadline
+            lag; paced_ok=true means every T2 frame left the full stack
+            on its air schedule (>= 1x real time sustained, the vv009
+            1.7 MHz profile needs ~15 MB/s of tunnel).
 
 Usage: python tools/bench_sustained.py [role] [seconds] [config] [batch]
        defaults: all three roles, 60 s each, vv009_4kshort.
@@ -134,6 +140,29 @@ def run_role(role: str, seconds: float, config: str, batch=None) -> dict:
                     acc += float(chk(tx.step_window(w)))
                 wall = time.perf_counter() - t0
                 sink_stats = {"checksum": acc}
+            elif role == "paced":
+                sink = NativeIQSink(sink_path, gain=0.2)
+                ex = StreamingExecutor(tx, source=source, sink=sink,
+                                       realtime=True)
+                ex.step()  # compile outside the clock
+                ex.flush()
+                tx.counters.__init__()
+                frame_t = tx.plan.batch_frames * cfg.frame_duration
+                n_steps = max(1, int(seconds / frame_t))
+                t0 = time.perf_counter()
+                ex.run(n_steps)
+                sink.flush()
+                wall = time.perf_counter() - t0
+                lag = wall - n_steps * frame_t  # >0: fell behind the air
+                sink_stats = {"sink_samples": sink.samples_written,
+                              "producer_stalls": sink.producer_stalls,
+                              "paced_steps": n_steps,
+                              "paced_lag_s": round(lag, 3),
+                              # one step of slack: the pipelined drain of
+                              # the final step legitimately trails its
+                              # enqueue; anything more means underrun
+                              "paced_ok": bool(lag <= frame_t)}
+                sink.close()
             else:
                 sink = NativeIQSink(sink_path, gain=0.2)
                 ex = StreamingExecutor(tx, source=source, sink=sink)
@@ -164,6 +193,13 @@ def run_role(role: str, seconds: float, config: str, batch=None) -> dict:
             "t2_frames": c.frames, "frames_per_s": round(c.frames / wall, 1),
             "msamp_per_s": round(rate / 1e6, 2),
             "x_realtime": round(rate / REF_RATE, 1),
+            # the configured channel's OWN air rate (bandwidth-derived,
+            # pilotgenp1insert_cc_impl.cc:1179-1201): vv009 is the 1.7 MHz
+            # profile at 1.845 Ms/s - the rate a deployment of THIS config
+            # must sustain; x_realtime above keeps the reference app's
+            # 9.143 Ms/s USRP clock as the cross-config yardstick
+            "profile_msamp_per_s": round(cfg.sample_rate / 1e6, 3),
+            "x_realtime_profile": round(rate / cfg.sample_rate, 2),
             "ts_mbyte_per_s": round(c.ts_bytes / wall / 1e6, 1),
             "sync_errors": c.sync_errors,
             "ingest": ing_stats, **sink_stats,
