@@ -161,6 +161,22 @@ def _named_config(name):
             l1_constellation=L1Constellation.BPSK,
             fec_blocks=1, ti_blocks=1, t2_frames=2,
             num_data_symbols=4).validate()
+    if name == "t2lite_16k_t2gi":
+        # FFT_16K_T2GI (size code 11) - the lite-ONLY member of the FFT
+        # menu (base profile has plain FFT_16K); with GI 19/256 from the
+        # T2GI guard menu.  s2 = 11 & 0x7 = 3 rides through L1/P1 exactly
+        # as the reference computes it (framemapperfint_cc_impl.cc:118,
+        # pilotgenp1insert_cc_impl.cc:1120)
+        from dvbt2ll_tpu.config import Version
+        return T2Config(
+            frame_size=FrameSize.SHORT, code_rate=CodeRate.C2_5,
+            constellation=Constellation.QAM16, rotation=Rotation.ON,
+            fft_size=FFTSize.FFT_16K_T2GI,
+            guard_interval=GuardInterval.GI_19_256,
+            pilot_pattern=PilotPattern.PP3, preamble=Preamble.T2_LITE_SISO,
+            version=Version.V131, l1_constellation=L1Constellation.QPSK,
+            fec_blocks=6, ti_blocks=2, t2_frames=2,
+            num_data_symbols=3).validate()
     if name == "v121_4k":
         # the V1.2.1 version leg: plp_mode = inputmode + 1 in L1-post
         # (lib/framemapperfint_cc_impl.cc:214-219) with the V1.3.1-only

@@ -39,7 +39,8 @@ N_FRAMES = {"vv009_4kshort": 4, "8k_normal": 2, "32k_extended": 2,
             "8k_miso_tx1": 2, "8k_miso_tx2": 2, "32k_papr_tr": 2,
             "16k_l1qpsk_both": 2, "1k_pp4": 2,
             "qpsk_short_c13": 2, "ti_off_4k": 2,
-            "t2lite_4k": 2, "t2lite_8k_t2gi_miso": 2, "v121_4k": 2}
+            "t2lite_4k": 2, "t2lite_8k_t2gi_miso": 2, "v121_4k": 2,
+            "t2lite_16k_t2gi": 2}
 
 
 def build_harness() -> str:
