@@ -41,6 +41,10 @@ def main():
     ap.add_argument("--config",
                     help="T2Config JSON file (T2Config.to_json; enums by "
                          "name); default is the vv009-4kshort chain")
+    ap.add_argument("--realtime", action="store_true",
+                    help="pace emission at the config's air rate "
+                         "(bandwidth-derived sample rate) - the "
+                         "deployment shape; reports any deadline lag")
     args = ap.parse_args()
 
     if args.cpu:
@@ -82,6 +86,28 @@ def main():
         sink_cls = lambda p, gain: NativeIQSink(p, gain=gain)
     else:
         sink_cls = IQFileSink
+
+    # --realtime: hold each step until its air-schedule deadline (the
+    # pacing StreamingExecutor.run(realtime=True) applies; here inline
+    # because this app drives tx.stream* directly).  The first, compiling
+    # step seeds the deadline clock so compile time is not counted as lag.
+    step_t = batch * cfg.frame_duration
+    pace_state = {"deadline": None, "late": 0.0}
+
+    def pace():
+        if not args.realtime:
+            return
+        now = time.time()
+        if pace_state["deadline"] is None:
+            pace_state["deadline"] = now + step_t
+            return
+        d = pace_state["deadline"]
+        if d > now:
+            time.sleep(d - now)
+        else:
+            pace_state["late"] = max(pace_state["late"], now - d)
+        pace_state["deadline"] = d + step_t
+
     with sink_cls(args.output, gain=args.gain) as sink:
         if args.stdin:
             import numpy as np
@@ -94,6 +120,7 @@ def main():
                     # its pre-carried window through the public API
                     # (stream_window also inserts FEF parts when configured)
                     sink.write(tx.stream_window(ing.window(n)))
+                    pace()
                 print("ingest stats:", ing.stats)
                 c = tx.counters
                 print(f"emitted {c.frames} T2 frames, {c.samples} samples")
@@ -112,6 +139,7 @@ def main():
                 else:
                     ts = synthetic_ts(n, seed=i)
                 sink.write(tx.stream(ts))
+                pace()
                 if i == 0:
                     t_warm, warm_samples = time.time(), sink.samples_written
             dt = time.time() - t0
@@ -124,6 +152,10 @@ def main():
                 msg += (f"; steady state {rate/1e6:.1f} Msamp/s = "
                         f"{rate/(8e6*8/7):.1f}x the reference app's "
                         f"9.14 Msamp/s real-time rate")
+            if args.realtime:
+                msg += (f"; paced at the {cfg.sample_rate/1e6:.3f} Msamp/s "
+                        f"air rate, worst deadline lag "
+                        f"{pace_state['late']*1e3:.0f} ms")
             print(msg)
 
 

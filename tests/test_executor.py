@@ -72,3 +72,30 @@ def test_executor_multi_plp_sources():
         tx, [make_source(k) for k in range(len(per))], sink).run(n_steps)
     assert np.array_equal(np.concatenate(sink.chunks), expected)
     assert stats["steps"] == n_steps
+
+
+def test_executor_realtime_pacing():
+    """run(realtime=True) must hold the air schedule: N steps take at
+    least ~N x the batch's frame airtime even when compute is far
+    faster (the deployment contract bench_sustained.py 'paced' measures
+    on hardware)."""
+    import time
+
+    cfg = vv009_config()
+    tx = Transmitter(cfg, 1, strict=False, allow_phase_drift=True)
+    n = tx.bytes_per_step
+    ts = synthetic_ts(6 * n, seed=103)
+    pos = {"o": 0}
+
+    def source(nbytes):
+        o = pos["o"]
+        pos["o"] += nbytes
+        return ts[o : o + nbytes]
+
+    ex = StreamingExecutor(tx, source, _ListSink(), realtime=True)
+    ex.step()  # compile outside the pacing window
+    t0 = time.perf_counter()
+    ex.run(5)
+    wall = time.perf_counter() - t0
+    frame_t = tx.plan.batch_frames * cfg.frame_duration
+    assert wall >= 5 * frame_t * 0.9, (wall, frame_t)
