@@ -4,7 +4,6 @@ disagreement), dryrun_multichip asserts sharded == sequential."""
 import sys
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 sys.path.insert(0, __file__.rsplit("/tests/", 1)[0])
