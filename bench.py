@@ -189,6 +189,21 @@ def _named_config(name):
             pilot_pattern=PilotPattern.PP7, version=Version.V121,
             fec_blocks=3, ti_blocks=1, t2_frames=2,
             num_data_symbols=3).validate()
+    if name == "eq_2k_5mhz":
+        # inverse-sinc pre-equalization ON (the VOLK-multiply branch,
+        # lib/pilotgenp1insert_cc_impl.cc:1179-1219, :2887-2889) on a
+        # non-default bandwidth (5 MHz) - pins the eq plane incl. the
+        # sincrms normalization against the reference binary; the sinc
+        # shape itself is bandwidth-independent (x = pi*i/vlength)
+        from dvbt2ll_tpu.config import Bandwidth
+        return T2Config(
+            frame_size=FrameSize.SHORT, code_rate=CodeRate.C2_3,
+            constellation=Constellation.QAM16, rotation=Rotation.OFF,
+            fft_size=FFTSize.FFT_2K, guard_interval=GuardInterval.GI_1_8,
+            pilot_pattern=PilotPattern.PP1,
+            l1_constellation=L1Constellation.BPSK,
+            fec_blocks=2, ti_blocks=1, t2_frames=2, num_data_symbols=8,
+            equalization=True, bandwidth=Bandwidth.BW_5_0_MHZ).validate()
     if name == "32k_papr_tr":
         # TR-PAPR reserved tones, lib/pilotgenp1insert_cc_impl.cc:2739-2781
         return T2Config(

@@ -70,6 +70,36 @@ def test_shared_config_group_and_pinned_devices():
         assert np.array_equal(a2.view(np.complex64), r2)
 
 
+def test_hetero_with_multi_plp_channel():
+    """A multi-PLP mux next to a single-PLP mux: per-channel inputs keep
+    ShardedTransmitter semantics (a per-PLP sequence for the multi-PLP
+    group), outputs equal the standalone runs."""
+    from tests.test_multiplp_fef import _mixed_plp_cfg
+    cpu = jax.devices("cpu")
+    cfg_a, cfg_b = _mixed_plp_cfg(), vv009_config()
+    mm = MultiMuxTransmitter([
+        MuxChannel(cfg_a, frames_per_shard=1, strict=False,
+                   allow_phase_drift=True),
+        MuxChannel(cfg_b, frames_per_shard=1, strict=False,
+                   allow_phase_drift=True),
+    ], devices=cpu[:4])
+    per_a = mm.bytes_per_step[0]
+    assert isinstance(per_a, tuple) and len(per_a) == 2
+    ts_a = [synthetic_ts(per_a[0], seed=80)[None],
+            synthetic_ts(per_a[1], seed=81)[None]]
+    ts_b = synthetic_ts(mm.bytes_per_step[1], seed=82)[None]
+    out_a, out_b = mm([ts_a, ts_b])
+
+    ref_a = ShardedTransmitter(cfg_a, make_mesh(cpu[:2], mux=1), n_mux=1,
+                               frames_per_shard=1, strict=False,
+                               allow_phase_drift=True)(ts_a)
+    ref_b = ShardedTransmitter(cfg_b, make_mesh(cpu[2:4], mux=1), n_mux=1,
+                               frames_per_shard=1, strict=False,
+                               allow_phase_drift=True)(ts_b)
+    assert np.array_equal(out_a, ref_a)
+    assert np.array_equal(out_b, ref_b)
+
+
 def test_pool_partition_errors():
     cpu = jax.devices("cpu")
     cfg = vv009_config()

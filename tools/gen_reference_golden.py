@@ -40,7 +40,7 @@ N_FRAMES = {"vv009_4kshort": 4, "8k_normal": 2, "32k_extended": 2,
             "16k_l1qpsk_both": 2, "1k_pp4": 2,
             "qpsk_short_c13": 2, "ti_off_4k": 2,
             "t2lite_4k": 2, "t2lite_8k_t2gi_miso": 2, "v121_4k": 2,
-            "t2lite_16k_t2gi": 2}
+            "t2lite_16k_t2gi": 2, "eq_2k_5mhz": 2}
 
 
 def build_harness() -> str:

@@ -32,7 +32,7 @@ DEFAULT_NAMES = ["vv009_4kshort", "8k_normal"]
 ALL_NAMES = DEFAULT_NAMES + ["inband_2k", "1k_pp4", "qpsk_short_c13",
                              "hieff_4k", "32k_papr_tr",
                              "t2lite_4k", "t2lite_8k_t2gi_miso", "v121_4k",
-                             "t2lite_16k_t2gi"]
+                             "t2lite_16k_t2gi", "eq_2k_5mhz"]
 
 
 def _jax_tpu():
