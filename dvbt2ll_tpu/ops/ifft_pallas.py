@@ -98,6 +98,41 @@ def ifft_gi_einsum(grids_re_t: jnp.ndarray, grids_im_t: jnp.ndarray,
             body_im.reshape(b, s, fft + gi))
 
 
+def ifft_gi_einsum2d(grids_re_t: jnp.ndarray, grids_im_t: jnp.ndarray,
+                     fft: int, gi: int, scale: float,
+                     precision=None):
+    """ifft_gi_einsum with both matmul stages expressed as explicit 2D
+    dots on reshaped operands (stage 1: rows merged to (B*S*N2, 128);
+    stage 3: W2 contraction via a transpose-free right-multiplication
+    X^T = C^T W2^T on the merged (B*S, N2, N1) view).  Mathematically
+    identical; exists to A/B whether XLA's {2,3,1,0} einsum operand
+    copies (BENCH.md per-op table, 0.28 ms) disappear under plain-2D
+    formulations."""
+    hi = precision if precision is not None else jax.lax.Precision.HIGHEST
+    b, s, n2, n1 = grids_re_t.shape
+    gi_rows = gi // N1
+    w1r, w1i, ttr, tti, w2r, w2i = factor_matrices(fft, scale)
+    ar = grids_re_t.reshape(b * s * n2, N1)
+    ai = grids_im_t.reshape(b * s * n2, N1)
+    dot = functools.partial(jnp.matmul, precision=hi)
+    br = dot(ar, w1r) - dot(ai, w1i)
+    bi = dot(ar, w1i) + dot(ai, w1r)
+    cr = (br.reshape(b * s, n2, N1) * ttr
+          - bi.reshape(b * s, n2, N1) * tti)
+    ci = (br.reshape(b * s, n2, N1) * tti
+          + bi.reshape(b * s, n2, N1) * ttr)
+    # stage 3 as batched matmul with W2 on the LEFT via jnp.matmul's
+    # broadcasting: (n2, n2) @ (B*S, n2, N1) -> (B*S, n2, N1)
+    xr = dot(w2r, cr) - dot(w2i, ci)
+    xi = dot(w2r, ci) + dot(w2i, cr)
+    xr = xr.reshape(b, s, n2, N1)
+    xi = xi.reshape(b, s, n2, N1)
+    body_re = jnp.concatenate([xr[:, :, n2 - gi_rows:], xr], axis=2)
+    body_im = jnp.concatenate([xi[:, :, n2 - gi_rows:], xi], axis=2)
+    return (body_re.reshape(b, s, fft + gi),
+            body_im.reshape(b, s, fft + gi))
+
+
 def _kernel(gi_rows: int, n2: int, s_tile: int, b_tile: int,
             ar_ref, ai_ref, w1r_ref, w1i_ref, ttr_ref, tti_ref,
             w2r_ref, w2i_ref, or_ref, oi_ref):

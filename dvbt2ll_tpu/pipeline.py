@@ -392,9 +392,10 @@ def transmit_step_iq_planar(plan: TransmitPlan, ts_padded, frame_idx0,
         g_re = g_re * pc["eq_t"]
         g_im = g_im * pc["eq_t"]
 
-    if impl == "einsum":
-        from .ops.ifft_pallas import ifft_gi_einsum
-        body_re, body_im = ifft_gi_einsum(
+    if impl in ("einsum", "einsum2d"):
+        from .ops.ifft_pallas import ifft_gi_einsum, ifft_gi_einsum2d
+        tail = ifft_gi_einsum if impl == "einsum" else ifft_gi_einsum2d
+        body_re, body_im = tail(
             g_re, g_im, cfg.fft_points, cfg.guard_samples,
             cfg.ofdm_normalization)
     else:

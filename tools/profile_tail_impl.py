@@ -55,7 +55,9 @@ def main():
 
     outs = {}
     res = {}
-    for impl in ("einsum", "pallas"):
+    impls = (sys.argv[5].split(",") if len(sys.argv) > 5
+             else ("einsum", "pallas"))
+    for impl in impls:
         f = jax.jit(functools.partial(transmit_step_iq_planar, plan,
                                       impl=impl))
         times = _reps(f, (w, fi), reps, iters)
@@ -67,13 +69,15 @@ def main():
               f"  max {max(times)*1e3:7.3f}  -> {rate/1e6:7.1f} Msamp/s",
               flush=True)
 
-    err = np.max(np.abs(outs["einsum"] - outs["pallas"]))
-    scale = np.max(np.abs(outs["einsum"]))
-    print(f"agreement: max|d| {err:.3e} of {scale:.3e} "
-          f"({'OK' if err <= 1e-4 * scale else 'MISMATCH'})")
-    a, b = res["einsum"], res["pallas"]
-    sep = "SEPARABLE" if (a[2] < b[1] or b[2] < a[1]) else "OVERLAP"
-    print(f"einsum/pallas step ratio = {b[0]/a[0]:.3f}x  ({sep})")
+    base = impls[0]
+    for other in impls[1:]:
+        err = np.max(np.abs(outs[base] - outs[other]))
+        scale = np.max(np.abs(outs[base]))
+        print(f"{base} vs {other}: max|d| {err:.3e} of {scale:.3e} "
+              f"({'OK' if err <= 1e-4 * scale else 'MISMATCH'})")
+        a, b = res[base], res[other]
+        sep = "SEPARABLE" if (a[2] < b[1] or b[2] < a[1]) else "OVERLAP"
+        print(f"{base}/{other} step ratio = {b[0]/a[0]:.3f}x  ({sep})")
 
 
 if __name__ == "__main__":
