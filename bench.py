@@ -189,6 +189,28 @@ def _named_config(name):
             pilot_pattern=PilotPattern.PP7, version=Version.V121,
             fec_blocks=3, ti_blocks=1, t2_frames=2,
             num_data_symbols=3).validate()
+    if name == "multiplp_fef":
+        # BASELINE config 4: two type-1 data PLPs with mixed code rates /
+        # constellations plus FEF insertion - capability beyond the
+        # reference (num_plp=1 hardcoded, framemapperfint_cc_impl.cc:153)
+        from dvbt2ll_tpu.config import PLPConfig
+        return T2Config(
+            frame_size=FrameSize.SHORT, code_rate=CodeRate.C4_5,
+            constellation=Constellation.QAM256, rotation=Rotation.ON,
+            fft_size=FFTSize.FFT_4K, guard_interval=GuardInterval.GI_1_32,
+            pilot_pattern=PilotPattern.PP7,
+            plps=(
+                PLPConfig(plp_id=0, code_rate=CodeRate.C4_5,
+                          constellation=Constellation.QAM256,
+                          rotation=Rotation.ON, frame_size=FrameSize.SHORT,
+                          fec_blocks=4, ti_blocks=2),
+                PLPConfig(plp_id=1, code_rate=CodeRate.C1_2,
+                          constellation=Constellation.QAM16,
+                          rotation=Rotation.OFF, frame_size=FrameSize.SHORT,
+                          fec_blocks=2, ti_blocks=1),
+            ),
+            fec_blocks=4, ti_blocks=2, t2_frames=2, num_data_symbols=3,
+            fef_length=4096, fef_interval=2).validate()
     if name == "eq_2k_5mhz":
         # inverse-sinc pre-equalization ON (the VOLK-multiply branch,
         # lib/pilotgenp1insert_cc_impl.cc:1179-1219, :2887-2889) on a
@@ -235,16 +257,20 @@ def main():
     cfg = _named_config(name)
     baseline_samp_rate = 8e6 * 8 / 7  # the grc app's samp_rate variable
     tx = Transmitter(cfg, batch, strict=False)
-    n = tx.bytes_per_step
 
-    # pre-staged rotating inputs (distinct, with the 187-byte carry window)
-    carry = np.zeros(187, np.uint8)
+    # pre-staged rotating inputs (distinct, with the 187-byte carry
+    # window); multi-PLP configs stage one stream per PLP
+    per_plp = tx.bytes_per_step_per_plp
+    carries = [np.zeros(187, np.uint8) for _ in per_plp]
     dev_in = []
     for s in range(4):
-        ts = synthetic_ts(n, seed=s)
-        padded = np.concatenate([carry, ts])
-        dev_in.append(jax.device_put(jnp.asarray(padded)))
-        carry = padded[-187:]
+        step_in = []
+        for i, n_p in enumerate(per_plp):
+            ts = synthetic_ts(n_p, seed=16 * s + i)
+            padded = np.concatenate([carries[i], ts])
+            carries[i] = padded[-187:]
+            step_in.append(jax.device_put(jnp.asarray(padded)))
+        dev_in.append(step_in if len(step_in) > 1 else step_in[0])
 
     step = tx._step
     fi = jnp.int32(0)
