@@ -23,14 +23,16 @@ def main():
     from dvbt2ll_tpu.io import synthetic_ts
     from dvbt2ll_tpu.pipeline import Transmitter
 
-    configs = {name: _named_config(name)
-               for name in ("vv009_4kshort", "8k_normal", "32k_extended")}
+    names = sys.argv[1:] or ("vv009_4kshort", "8k_normal", "32k_extended",
+                             "multiplp_fef")
+    configs = {name: _named_config(name) for name in names}
     chk = jax.jit(lambda o: jnp.sum(o[..., 0].astype(jnp.float32)))
     for name, cfg in configs.items():
         tx = Transmitter(cfg, 1, strict=False)
-        ts = synthetic_ts(tx.bytes_per_step, seed=3)
-        w = jax.device_put(jnp.asarray(
-            np.concatenate([np.zeros(187, np.uint8), ts])))
+        ws = [jax.device_put(jnp.asarray(np.concatenate(
+                  [np.zeros(187, np.uint8), synthetic_ts(n, seed=3 + i)])))
+              for i, n in enumerate(tx.bytes_per_step_per_plp)]
+        w = ws if len(ws) > 1 else ws[0]
         fi = jnp.int32(0)
         float(chk(tx._step(w, fi)))  # compile
         iters = 50
