@@ -235,6 +235,9 @@ def test_named_config_registry_all_valid():
         cfg = bench._named_config(name)
         cfg.validate()
         assert cfg.samples_per_frame > 2048, name
+        # JSON round-trip must reproduce the config exactly (enums by
+        # name, nested PLPs included)
+        assert type(cfg).from_json(cfg.to_json()) == cfg, name
     import pytest
     with pytest.raises(SystemExit):
         bench._named_config("no_such_config")
