@@ -27,6 +27,20 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+def _fence(out):
+    """Host value fetch: through the axon tunnel block_until_ready()
+    returns before execution finishes, so only fetching a value reliably
+    fences (CLAUDE.md / tools/_common.py::fence)."""
+    import jax
+    import jax.numpy as jnp
+    fn = getattr(_fence, "_fn", None)
+    if fn is None:
+        fn = jax.jit(lambda v: jnp.sum(jnp.ravel(v)[:8]
+                                       .astype(jnp.float32)))
+        _fence._fn = fn
+    return float(fn(out))
+
+
 def _load_cfg(path):
     from dvbt2ll_tpu.config import T2Config
     try:
@@ -90,7 +104,7 @@ def main():
     # warm-up step: XLA compile happens here, outside the timed loop
     warm = np.stack([synthetic_ts(nbytes, seed=rng.integers(1 << 30))
                      for _ in range(args.mux)])
-    stx.step_device(warm).block_until_ready()
+    _fence(stx.step_device(warm))
 
     t0 = time.perf_counter()
     total_samples = 0
@@ -98,7 +112,7 @@ def main():
         ts = np.stack([synthetic_ts(nbytes, seed=rng.integers(1 << 30))
                        for _ in range(args.mux)])
         out = stx.step_device(ts)
-        out.block_until_ready()
+        _fence(out)
         total_samples += args.mux * stx.frames_per_step * cfg.samples_per_frame
     dt = time.perf_counter() - t0
     rt = cfg.sample_rate  # per-channel real-time sample rate
@@ -133,14 +147,14 @@ def _run_hetero(args, devices, cfgs, rng):
 
     outs = mm.step_device(feed())  # warm-up/compile
     for o in outs:
-        o.block_until_ready()
+        _fence(o)
 
     t0 = time.perf_counter()
     totals = np.zeros(len(cfgs))
     for s in range(args.steps):
         outs = mm.step_device(feed())
         for o in outs:
-            o.block_until_ready()
+            _fence(o)
         for i, stx in enumerate(mm.transmitters):
             totals[i] += (args.mux * stx.frames_per_step
                           * mm.channels[i].cfg.samples_per_frame)

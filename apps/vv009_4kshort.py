@@ -90,14 +90,17 @@ def main():
     # --realtime: hold each step until its air-schedule deadline (the
     # pacing StreamingExecutor.run(realtime=True) applies; here inline
     # because this app drives tx.stream* directly).  The first, compiling
-    # step seeds the deadline clock so compile time is not counted as lag.
-    step_t = batch * cfg.frame_duration
+    # step seeds the deadline clock so compile time is not counted as
+    # lag.  emitted_frame_duration counts the FEF parts stream() inserts;
+    # time.perf_counter() is monotonic (an NTP/wall-clock step must not
+    # stall or corrupt the schedule).
+    step_t = batch * cfg.emitted_frame_duration
     pace_state = {"deadline": None, "late": 0.0}
 
     def pace():
         if not args.realtime:
             return
-        now = time.time()
+        now = time.perf_counter()
         if pace_state["deadline"] is None:
             pace_state["deadline"] = now + step_t
             return

@@ -815,6 +815,16 @@ class T2Config:
         """T2 frame duration in seconds at the profile sample rate."""
         return self.samples_per_frame / self.sample_rate
 
+    @property
+    def emitted_frame_duration(self) -> float:
+        """Average per-T2-frame airtime of the EMITTED stream, including
+        the amortized FEF part after every fef_interval-th frame (exact
+        over a superframe: validate() makes fef_interval divide
+        t2_frames).  This is the pacing unit for real-time emission."""
+        extra = (self.fef_length / self.fef_interval / self.sample_rate
+                 if self.has_fef else 0.0)
+        return self.frame_duration + extra
+
     # -------------------------------------------------------------------- L1
     @property
     def eta_mod(self) -> int:

@@ -36,7 +36,7 @@ class StreamingExecutor:
         assert len(self.sources) == len(tx.plan.plps)
         self.sink = sink
         self.realtime = realtime
-        self._pending = None  # device array of the previous step
+        self._pending = None  # (device array, start frame idx) of prev step
 
     def _read_step_input(self):
         return [np.asarray(src(pp.ts_bytes_in), dtype=np.uint8)
@@ -45,9 +45,14 @@ class StreamingExecutor:
     def _drain(self) -> Optional[np.ndarray]:
         if self._pending is None:
             return None
-        iq = np.asarray(self._pending)  # device->host of step N-1
+        dev, start = self._pending
+        iq = np.asarray(dev)  # device->host of step N-1
         self._pending = None
-        return iq.reshape(iq.shape[0], -1).view(np.complex64)
+        frames = iq.reshape(iq.shape[0], -1).view(np.complex64)
+        if self.tx.cfg.has_fef:
+            # the emitted stream carries FEF parts (like Transmitter.stream)
+            return self.tx._with_fef(frames, start)[None]
+        return frames
 
     def step(self) -> Optional[np.ndarray]:
         """Enqueue one device step, return the PREVIOUS step's IQ (None on
@@ -62,6 +67,7 @@ class StreamingExecutor:
         # (~0.06 ms/MB) so the gain there is within noise (0.95-1.0x); the
         # order is kept because it is never worse and hides min(compute,
         # fetch) on hardware-attached deployments.
+        start = self.tx._frame_idx  # frame index this step starts at
         try:
             pending = self.tx.step_device(ts)
         except Exception:
@@ -69,7 +75,7 @@ class StreamingExecutor:
             self.flush()
             raise
         prev = self._drain()
-        self._pending = pending
+        self._pending = (pending, start)
         if prev is not None and self.sink is not None:
             self.sink.write(prev)
         return prev
@@ -81,11 +87,16 @@ class StreamingExecutor:
         return prev
 
     def run(self, n_steps: int) -> dict:
-        """Run n_steps with overlap; returns the transmitter counters."""
+        """Run n_steps with overlap; returns the transmitter counters.
+
+        realtime=True paces at the AIR rate of what is actually emitted:
+        for FEF configs each step's airtime includes the FEF parts the
+        drain inserts (fef_interval divides t2_frames by validate(), so
+        the per-step average is exact over a superframe)."""
         t0 = time.perf_counter()
         deadline = t0
         frame_t = (self.tx.plan.batch_frames
-                   * self.tx.cfg.frame_duration)
+                   * self.tx.cfg.emitted_frame_duration)
         for _ in range(n_steps):
             self.step()
             if self.realtime:

@@ -101,13 +101,13 @@ def ifft_gi_einsum(grids_re_t: jnp.ndarray, grids_im_t: jnp.ndarray,
 def ifft_gi_einsum2d(grids_re_t: jnp.ndarray, grids_im_t: jnp.ndarray,
                      fft: int, gi: int, scale: float,
                      precision=None):
-    """ifft_gi_einsum with both matmul stages expressed as explicit 2D
-    dots on reshaped operands (stage 1: rows merged to (B*S*N2, 128);
-    stage 3: W2 contraction via a transpose-free right-multiplication
-    X^T = C^T W2^T on the merged (B*S, N2, N1) view).  Mathematically
-    identical; exists to A/B whether XLA's {2,3,1,0} einsum operand
-    copies (BENCH.md per-op table, 0.28 ms) disappear under plain-2D
-    formulations."""
+    """ifft_gi_einsum with both matmul stages expressed as plain dots on
+    reshaped operands: stage 1 merges rows to ONE (B*S*N2, 128) 2D
+    matmul, stage 3 applies W2 as a broadcast batched LEFT-multiplication
+    (n2, n2) @ (B*S, n2, N1) via jnp.matmul.  Mathematically identical
+    to the einsum tail; exists to A/B whether XLA's {2,3,1,0} einsum
+    operand copies (BENCH.md per-op table, 0.28 ms) disappear under
+    these formulations (measured: ~1 %, at the tunnel noise floor)."""
     hi = precision if precision is not None else jax.lax.Precision.HIGHEST
     b, s, n2, n1 = grids_re_t.shape
     gi_rows = gi // N1

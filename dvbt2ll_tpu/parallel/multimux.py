@@ -67,6 +67,9 @@ class MultiMuxTransmitter:
             raise ValueError("need at least one channel")
 
         # partition the pool: pinned groups first, equal split of the rest
+        for c in self.channels:
+            if c.n_devices is not None and c.n_devices < 1:
+                raise ValueError("channel n_devices must be >= 1 when set")
         pinned = sum(c.n_devices or 0 for c in self.channels)
         floating = [c for c in self.channels if c.n_devices is None]
         if pinned > len(devices):
@@ -81,6 +84,12 @@ class MultiMuxTransmitter:
                     f"{len(floating)} channels; pin n_devices per channel")
             for c in floating:
                 c.n_devices = share
+        elif pinned != len(devices):
+            # all channels pinned but devices left over: loud, like the
+            # uneven-split path (pass a sliced pool to use fewer devices)
+            raise ValueError(
+                f"channel n_devices sum to {pinned} but the pool has "
+                f"{len(devices)} devices; slice the pool or adjust pins")
         for c in self.channels:
             if c.n_devices % c.n_mux:
                 raise ValueError(
@@ -138,9 +147,12 @@ class MultiMuxTransmitter:
                 for k, v in stx.state_dict().items()}
 
     def load_state(self, state: dict) -> None:
+        # split generically by prefix so fields ShardedTransmitter adds
+        # later round-trip without touching this class
         for i, stx in enumerate(self.transmitters):
-            stx.load_state({"carries": state[f"ch{i}_carries"],
-                            "step_no": state[f"ch{i}_step_no"]})
+            prefix = f"ch{i}_"
+            stx.load_state({k[len(prefix):]: v for k, v in state.items()
+                            if k.startswith(prefix)})
 
     def save(self, path: str) -> None:
         np.savez(path, **self.state_dict())

@@ -220,24 +220,20 @@ def test_enum_typo_raises_value_error():
 def test_named_config_registry_all_valid():
     """Every name in the bench/golden registry must build a validated
     T2Config (catches registry drift when configs are added)."""
-    import importlib.util
-    import os
-    spec = importlib.util.spec_from_file_location(
-        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py"))
-    bench = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(bench)
+    import pytest
+
+    from tests.test_reference_golden import _named_config
     names = ["vv009_4kshort", "8k_normal", "32k_extended", "hieff_4k",
              "inband_2k", "8k_miso_tx1", "8k_miso_tx2", "32k_papr_tr",
              "16k_l1qpsk_both", "1k_pp4", "qpsk_short_c13", "ti_off_4k",
              "t2lite_4k", "t2lite_8k_t2gi_miso", "v121_4k",
              "t2lite_16k_t2gi", "eq_2k_5mhz", "multiplp_fef"]
     for name in names:
-        cfg = bench._named_config(name)
+        cfg = _named_config(name)
         cfg.validate()
         assert cfg.samples_per_frame > 2048, name
         # JSON round-trip must reproduce the config exactly (enums by
         # name, nested PLPs included)
         assert type(cfg).from_json(cfg.to_json()) == cfg, name
-    import pytest
     with pytest.raises(SystemExit):
-        bench._named_config("no_such_config")
+        _named_config("no_such_config")

@@ -99,3 +99,33 @@ def test_executor_realtime_pacing():
     wall = time.perf_counter() - t0
     frame_t = tx.plan.batch_frames * cfg.frame_duration
     assert wall >= 5 * frame_t * 0.9, (wall, frame_t)
+
+
+def test_executor_emits_fef_parts():
+    """For FEF configs the executor's sink stream must equal the
+    sequential Transmitter.stream() output (FEF parts inserted after
+    every fef_interval-th frame) - previously the executor silently
+    dropped FEF parts."""
+    import dataclasses
+
+    cfg = dataclasses.replace(vv009_config(), fef_length=4096,
+                              fef_interval=2).validate()
+    tx_seq = Transmitter(cfg, 1, strict=False, allow_phase_drift=True)
+    n = tx_seq.bytes_per_step
+    ts = synthetic_ts(4 * n, seed=104)
+    expected = np.concatenate(
+        [tx_seq.stream(ts[i * n:(i + 1) * n]) for i in range(4)])
+
+    tx = Transmitter(cfg, 1, strict=False, allow_phase_drift=True)
+    pos = {"o": 0}
+
+    def source(nbytes):
+        o = pos["o"]
+        pos["o"] += nbytes
+        return ts[o : o + nbytes]
+
+    sink = _ListSink()
+    ex = StreamingExecutor(tx, source, sink)
+    ex.run(4)
+    got = np.concatenate([c.reshape(-1) for c in sink.chunks])
+    assert np.array_equal(got, expected)

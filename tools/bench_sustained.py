@@ -147,7 +147,9 @@ def run_role(role: str, seconds: float, config: str, batch=None) -> dict:
                 ex.step()  # compile outside the clock
                 ex.flush()
                 tx.counters.__init__()
-                frame_t = tx.plan.batch_frames * cfg.frame_duration
+                # emitted_frame_duration: FEF parts count toward airtime
+                frame_t = (tx.plan.batch_frames
+                           * cfg.emitted_frame_duration)
                 n_steps = max(1, int(seconds / frame_t))
                 t0 = time.perf_counter()
                 ex.run(n_steps)
