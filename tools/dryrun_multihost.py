@@ -48,9 +48,27 @@ def _env(n_local_devices):
     return env
 
 
-def _run_step(mesh_devices, n_mux=2):
-    """One ShardedTransmitter step on the given devices; returns the
-    output jax.Array (possibly not fully addressable)."""
+def _phase_invariant_cfg():
+    """min_batch_frames == 1 config (HIEFF, 17 x 869 = 79 whole packets
+    per frame) - the valid-continuous-stream sharded mode; mirrors
+    tests/test_sharding.py::_phase_invariant_cfg."""
+    from dvbt2ll_tpu.config import (CodeRate, Constellation, FFTSize,
+                                    FrameSize, GuardInterval, InputMode,
+                                    PilotPattern, Rotation, T2Config)
+    return T2Config(
+        frame_size=FrameSize.SHORT, code_rate=CodeRate.C1_2,
+        constellation=Constellation.QAM256, rotation=Rotation.ON,
+        fft_size=FFTSize.FFT_4K, guard_interval=GuardInterval.GI_1_32,
+        pilot_pattern=PilotPattern.PP7, fec_blocks=17, ti_blocks=1,
+        t2_frames=2, num_data_symbols=12,
+        input_mode=InputMode.HIEFF).validate()
+
+
+def _run_cases(mesh_devices, n_mux=2):
+    """The multihost checks: (a) one drift-mode vv009 step (mechanism),
+    (b) TWO strict phase-invariant steps (the PRODUCTION valid-stream
+    mode, incl. the cross-step carry under DCN).  Returns name -> output
+    jax.Array (possibly not fully addressable)."""
     import jax
 
     jax.config.update("jax_compilation_cache_dir",
@@ -60,20 +78,30 @@ def _run_step(mesh_devices, n_mux=2):
     from dvbt2ll_tpu.io import synthetic_ts
     from dvbt2ll_tpu.parallel import ShardedTransmitter, make_mesh
 
-    cfg = vv009_config()
+    out = {}
     mesh = make_mesh(mesh_devices, mux=n_mux)
-    stx = ShardedTransmitter(cfg, mesh, n_mux=n_mux, frames_per_shard=1, allow_phase_drift=True,
+    stx = ShardedTransmitter(vv009_config(), mesh, n_mux=n_mux,
+                             frames_per_shard=1, allow_phase_drift=True,
                              strict=False, use_pallas=False)
     ts = np.stack([synthetic_ts(stx.bytes_per_step_per_mux, seed=TS_SEED + c)
                    for c in range(n_mux)])
-    return stx.step_device(ts)
+    out["vv009_drift"] = stx.step_device(ts)
+
+    stx2 = ShardedTransmitter(_phase_invariant_cfg(), mesh, n_mux=n_mux,
+                              frames_per_shard=1, use_pallas=False)
+    n = stx2.bytes_per_step_per_mux
+    ts2 = np.stack([synthetic_ts(2 * n, seed=TS_SEED + 10 + c)
+                    for c in range(n_mux)])
+    out["strict_s1"] = stx2.step_device(ts2[:, :n])
+    out["strict_s2"] = stx2.step_device(ts2[:, n:])
+    return out
 
 
 def role_single(out_path):
     import jax
 
-    out = _run_step(jax.devices("cpu")[: N_PROCS * DEV_PER_PROC])
-    np.save(out_path, np.asarray(out))
+    outs = _run_cases(jax.devices("cpu")[: N_PROCS * DEV_PER_PROC])
+    np.savez(out_path, **{k: np.asarray(v) for k, v in outs.items()})
     print(f"single-process: wrote {out_path}", flush=True)
 
 
@@ -84,21 +112,27 @@ def role_worker(pid, coordinator, out_path):
                                num_processes=N_PROCS, process_id=pid)
     assert jax.process_count() == N_PROCS
     assert len(jax.devices()) == N_PROCS * DEV_PER_PROC, len(jax.devices())
-    out = _run_step(jax.devices())
+    outs = _run_cases(jax.devices())
 
     from jax.experimental import multihost_utils
-    gathered = multihost_utils.process_allgather(out, tiled=True)
+    gathered = {k: multihost_utils.process_allgather(v, tiled=True)
+                for k, v in outs.items()}
     if pid == 0:
-        expect = np.load(out_path)
-        if gathered.shape != expect.shape:
-            print(f"FAIL shape {gathered.shape} != {expect.shape}", flush=True)
-            sys.exit(1)
-        if not np.array_equal(gathered, expect):
-            bad = np.abs(gathered - expect).max()
-            print(f"FAIL multihost output differs, max |d|={bad}", flush=True)
-            sys.exit(1)
-        print(f"process 0: 2-host output BIT-IDENTICAL to single-process "
-              f"({gathered.shape}, {gathered.nbytes} bytes)", flush=True)
+        with np.load(out_path) as z:
+            for k, got in gathered.items():
+                expect = z[k]
+                if got.shape != expect.shape:
+                    print(f"FAIL {k} shape {got.shape} != {expect.shape}",
+                          flush=True)
+                    sys.exit(1)
+                if not np.array_equal(got, expect):
+                    bad = np.abs(got - expect).max()
+                    print(f"FAIL {k} multihost output differs, "
+                          f"max |d|={bad}", flush=True)
+                    sys.exit(1)
+        print(f"process 0: 2-host outputs BIT-IDENTICAL to single-process "
+              f"({sorted(gathered)}; incl. the strict phase-invariant "
+              f"2-step valid-stream mode)", flush=True)
     jax.distributed.shutdown()
 
 
@@ -111,7 +145,7 @@ def orchestrate():
     coordinator = f"127.0.0.1:{port}"
 
     with tempfile.TemporaryDirectory() as tmp:
-        out_path = os.path.join(tmp, "single.npy")
+        out_path = os.path.join(tmp, "single.npz")
         subprocess.run(
             [sys.executable, __file__, "--role", "single", out_path],
             check=True, env=_env(N_PROCS * DEV_PER_PROC), timeout=600)
