@@ -323,7 +323,21 @@ def build_frames(plan: TransmitPlan, payload: jnp.ndarray,
     ], axis=1)
 
     src = c["grid_src"]
-    data = seq[:, jnp.where(src >= 0, src, seq.shape[1] - 1)]
+    gather = jnp.where(src >= 0, src, seq.shape[1] - 1)
+    # 32K gather-strategy guard: above ~128 rows XLA flips the full-chain
+    # frame-builder gather to a 7x-slower strategy (BENCH.md "32K batch
+    # sweep"; lax.map did NOT avoid it).  Splitting into <=128-row
+    # gathers behind optimization_barrier (so they cannot re-fuse) keeps
+    # the fast strategy: measured 2039 vs 1759 Msamp/s at 32K/256, and
+    # beats the old batch-128 optimum (tools/profile_fb_split.py, r5).
+    if cfg.fft_points >= 32768 and b > 128:
+        parts = -(-b // 128)
+        h = -(-b // parts)
+        outs = [jax.lax.optimization_barrier(seq[p * h:(p + 1) * h])[:, gather]
+                for p in range(parts)]
+        data = jnp.concatenate(outs, axis=0)
+    else:
+        data = seq[:, gather]
     return data + c["pilot_plane"].astype(jnp.complex64)
 
 
